@@ -1,0 +1,27 @@
+"""TPU-native RGB-D semantic SLAM framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+``andrewkwolek/dynamic-visual-slam`` (reference: a ROS 2 C++ pipeline — ORB
+feature tracking frontend + semantic landmark-mapping backend with Ceres
+sliding-window bundle adjustment).  Everything here is designed TPU-first:
+
+- fused Pallas/XLA kernels for the ORB pyramid / FAST / rBRIEF frontend
+  (reference: ``src/ORBextractor.cpp``),
+- MXU-matmul Hamming descriptor matching and vmapped RANSAC pose estimation
+  (reference: ``src/frontend.cpp``),
+- a JAX Levenberg-Marquardt bundle adjuster with Schur complement over the
+  camera/landmark block system (reference:
+  ``include/dynamic_visual_slam/bundle_adjustment.hpp``),
+- a fixed-capacity, static-shape landmark map with semantic category
+  partitioning (reference: ``src/backend.cpp``),
+- in-process YOLOv8 JAX inference for dynamic-object culling and dense-matmul
+  BoW place-recognition scoring (reference: DBoW2 integration).
+
+Static shapes everywhere: all variable-size sets (keypoints, matches,
+landmarks, observations) are capacity+mask arrays so the whole per-frame step
+compiles to one XLA program.
+"""
+
+__version__ = "0.1.0"
+
+from dynamic_visual_slam_tpu.config import SLAMConfig  # noqa: F401

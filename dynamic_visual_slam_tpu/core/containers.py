@@ -1,0 +1,76 @@
+"""Fixed-capacity masked-set utilities.
+
+The reference freely resizes std::vector/std::map (keypoints, matches,
+landmarks, observations).  Under ``jit`` every shape must be static, so all
+variable-size sets here are (capacity, ...) arrays plus a boolean validity
+mask, and these helpers implement the usual set operations without dynamic
+shapes.  This is the foundation SURVEY.md §7 calls "dynamic → static shapes
+everywhere".
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def masked_topk(scores: jnp.ndarray, mask: jnp.ndarray, k: int):
+    """Top-k by score among valid entries.
+
+    Returns (indices (k,), valid (k,)) — `valid[i]` false when fewer than k
+    valid entries exist.  Invalid slots point at index 0; callers must gate on
+    `valid`.
+    """
+    s = jnp.where(mask, scores, NEG_INF)
+    vals, idx = jax.lax.top_k(s, k)
+    return idx, vals > NEG_INF / 2
+
+
+def compress_to_capacity(values, mask: jnp.ndarray, capacity: int, fill=0):
+    """Stable-compact valid rows to the front, padded/truncated to capacity.
+
+    values: pytree of arrays with matching leading dim N.
+    Returns (pytree with leading dim `capacity`, newmask (capacity,)).
+    """
+    n = mask.shape[0]
+    order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)  # valid first, stable
+    count = jnp.sum(mask.astype(jnp.int32))
+    if capacity <= n:
+        sel = order[:capacity]
+    else:
+        sel = jnp.concatenate([order, jnp.zeros(capacity - n, jnp.int32)])
+    newmask = jnp.arange(capacity) < count
+    out = jax.tree_util.tree_map(lambda v: jnp.where(
+        _expand(newmask, v[sel].ndim), v[sel], jnp.asarray(fill, v.dtype)), values)
+    return out, newmask
+
+
+def _expand(mask: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    return mask.reshape(mask.shape + (1,) * (ndim - mask.ndim))
+
+
+def masked_argmin(costs: jnp.ndarray, mask: jnp.ndarray, axis: int = -1):
+    """(argmin index, min value, any-valid) along axis with invalid = +inf."""
+    c = jnp.where(mask, costs, -NEG_INF)
+    idx = jnp.argmin(c, axis=axis)
+    val = jnp.min(c, axis=axis)
+    return idx, val, val < -NEG_INF / 2
+
+
+def scatter_set(arr: jnp.ndarray, idx: jnp.ndarray, updates: jnp.ndarray,
+                valid: jnp.ndarray) -> jnp.ndarray:
+    """arr[idx] = updates where valid; invalid writes are dropped (sent to a
+    dummy out-of-range row via clamping against a guard)."""
+    safe_idx = jnp.where(valid, idx, arr.shape[0])  # OOB drops under scatter
+    dims = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=tuple(range(1, updates.ndim)),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0,))
+    return jax.lax.scatter(arr, safe_idx[:, None], updates, dims,
+                           mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+
+
+def count(mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(mask.astype(jnp.int32))
