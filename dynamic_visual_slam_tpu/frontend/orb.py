@@ -1,0 +1,265 @@
+"""TPU-native ORB extractor: pyramid → FAST score → spread top-k → IC-angle →
+rBRIEF, all static shapes, one XLA program per image size.
+
+Reference: the vendored ORB-SLAM3 extractor (ORBextractor.cpp):
+- 8-level x1.2 pyramid (1169-1194), per-35px-cell FAST th=20→7 fallback
+  (781-896), quadtree spatial distribution keeping the max-response keypoint
+  per node (555-779), intensity-centroid orientation (76-103), 7x7 sigma=2
+  blur + 256-pair rotated-BRIEF (107-146, table at 149-407).
+
+TPU redesign decisions:
+- cv::FAST per cell → one dense corner-score map per level (ops/fast.py);
+  threshold tests and the per-cell fallback become mask algebra.
+- DistributeOctTree (sequential quadtree) → "spread top-k": 3x3 NMS, then the
+  best keypoint of every 35-px cell is priority-boosted before a global
+  response top-k at the level's quota.  This reproduces the quadtree's
+  *selection distribution* (at most the quota, spatially spread, max-response
+  per region) without data-dependent control flow (SURVEY.md §7 "hard parts").
+- Orientation is a (K, 961) x (961, 2) matmul of gathered patches against
+  fixed intensity-centroid weights — MXU work instead of per-keypoint loops.
+- rBRIEF is a single (K, 512) gather from the blurred, reflect-padded level
+  image at rotated pattern offsets; bit packing is a (K,32,8)·weights matmul.
+
+The 256-pair sampling pattern is the standard public ORB constant table
+(identical in OpenCV and ORB-SLAM), stored as data in orb_pattern.npy.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_visual_slam_tpu.config import ORBConfig
+from dynamic_visual_slam_tpu.ops import fast, hamming
+from dynamic_visual_slam_tpu.ops import image as imops
+
+HALF_PATCH = 15
+SAMPLE_PAD = 19   # reference EDGE_THRESHOLD: covers rotated-BRIEF reach (≤ |13|·√2)
+CELL = 35         # FAST grid cell (ORBextractor.cpp:785)
+PER_CELL_K = 8    # candidates kept per cell before the global top-k
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set. All arrays have leading dim K (capacity)."""
+
+    uv: jnp.ndarray          # (K, 2) float32 — (x, y) in level-0 pixel coords
+    response: jnp.ndarray    # (K,)  float32 — FAST corner score
+    angle: jnp.ndarray       # (K,)  float32 — radians, IC orientation
+    octave: jnp.ndarray      # (K,)  int32   — pyramid level
+    desc_bits: jnp.ndarray   # (K, 256) uint8 {0,1} — matching layout (MXU)
+    desc_packed: jnp.ndarray  # (K, 32) uint8 — OpenCV wire layout
+    mask: jnp.ndarray        # (K,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.uv.shape[0]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# Constant tables (host-side, cached)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern() -> np.ndarray:
+    """(256, 4) int32 — x1,y1,x2,y2 per comparison (public ORB constant)."""
+    path = os.path.join(os.path.dirname(__file__), "orb_pattern.npy")
+    pat = np.load(path)
+    assert pat.shape == (256, 4)
+    return pat.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def ic_umax() -> np.ndarray:
+    """Per-row max column offset of the radius-15 disc, with the exact
+    symmetry-correction of the reference (ORBextractor.cpp:431-452)."""
+    umax = np.zeros(HALF_PATCH + 2, dtype=np.int32)
+    vmax = int(math.floor(HALF_PATCH * math.sqrt(2.0) / 2 + 1))
+    vmin = int(math.ceil(HALF_PATCH * math.sqrt(2.0) / 2))
+    hp2 = HALF_PATCH * HALF_PATCH
+    for v in range(vmax + 1):
+        umax[v] = int(round(math.sqrt(hp2 - v * v)))
+    v0 = 0
+    for v in range(HALF_PATCH, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    return umax[:HALF_PATCH + 1]
+
+
+@functools.lru_cache(maxsize=None)
+def ic_weights() -> np.ndarray:
+    """(961, 2) float32 — per-patch-pixel (u, v) moments weights for the
+    intensity-centroid angle: m10 = Σ u·I, m01 = Σ v·I over the disc."""
+    umax = ic_umax()
+    size = 2 * HALF_PATCH + 1
+    w = np.zeros((size, size, 2), dtype=np.float32)
+    for v in range(-HALF_PATCH, HALF_PATCH + 1):
+        for u in range(-HALF_PATCH, HALF_PATCH + 1):
+            if abs(u) <= umax[abs(v)]:
+                w[v + HALF_PATCH, u + HALF_PATCH, 0] = u
+                w[v + HALF_PATCH, u + HALF_PATCH, 1] = v
+    return w.reshape(size * size, 2)
+
+
+def features_per_level(cfg: ORBConfig) -> List[int]:
+    """Geometric per-level quotas, remainder to the coarsest level
+    (ORBextractor constructor, ORBextractor.cpp:434-445)."""
+    factor = 1.0 / cfg.scale_factor
+    n_first = cfg.n_features * (1 - factor) / (1 - factor ** cfg.n_levels)
+    quotas, acc = [], 0
+    for _ in range(cfg.n_levels - 1):
+        q = int(round(n_first))
+        quotas.append(q)
+        acc += q
+        n_first *= factor
+    quotas.append(max(cfg.n_features - acc, 0))
+    return quotas
+
+
+# --------------------------------------------------------------------------
+# Per-level stages
+# --------------------------------------------------------------------------
+
+def detect_level(score: jnp.ndarray, quota: int, ini_th: float, min_th: float
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Score map → (ys, xs, responses) of up to `quota` spread keypoints.
+
+    Mask algebra equivalent of per-cell FAST(20)→FAST(7) + DistributeOctTree.
+    Returns fixed-size (quota,) arrays; response <= 0 marks invalid slots.
+    """
+    h, w = score.shape
+    is_peak = (score >= imops.maxpool_same(score, 3)) & (score > min_th)
+    peak_score = jnp.where(is_peak, score, -jnp.inf)
+
+    # per-cell fallback: cells that have a th=20 peak use only those; others
+    # fall back to th=7 peaks (ORBextractor.cpp:826-859)
+    cell_max = imops.cell_reduce_max(peak_score, CELL)
+    cell_has_strong = imops.cell_broadcast(cell_max > ini_th, CELL, h, w)
+    keep = is_peak & ((score > ini_th) | ~cell_has_strong)
+    kept_score = jnp.where(keep, score, -jnp.inf)
+
+    # spread priority: best peak of each cell outranks everything else
+    cell_best = imops.cell_broadcast(imops.cell_reduce_max(kept_score, CELL),
+                                     CELL, h, w)
+    is_cell_best = keep & (kept_score >= cell_best)
+
+    # bound the candidate set: top PER_CELL_K per cell, then global top-quota
+    hc, wc = -(-h // CELL), -(-w // CELL)
+    padded = jnp.full((hc * CELL, wc * CELL), -jnp.inf, score.dtype)
+    padded = padded.at[:h, :w].set(
+        jnp.where(keep, kept_score + 1e6 * is_cell_best, -jnp.inf))
+    tiles = padded.reshape(hc, CELL, wc, CELL).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(hc * wc, CELL * CELL)
+    cand_val, cand_in_cell = jax.lax.top_k(tiles, PER_CELL_K)  # (Hc*Wc, K)
+
+    cell_ids = jnp.arange(hc * wc, dtype=jnp.int32)
+    cy = (cell_ids // wc)[:, None] * CELL + cand_in_cell // CELL
+    cx = (cell_ids % wc)[:, None] * CELL + cand_in_cell % CELL
+
+    flat_val = cand_val.reshape(-1)
+    flat_y = cy.reshape(-1)
+    flat_x = cx.reshape(-1)
+    top_val, top_idx = jax.lax.top_k(flat_val, quota)
+    ys = flat_y[top_idx]
+    xs = flat_x[top_idx]
+    # strip the spread boost to recover the raw score
+    resp = jnp.where(top_val > 5e5, top_val - 1e6, top_val)
+    resp = jnp.where(jnp.isfinite(top_val), resp, -1.0)
+    return ys.astype(jnp.int32), xs.astype(jnp.int32), resp.astype(jnp.float32)
+
+
+def compute_angles(level_img_padded: jnp.ndarray, ys: jnp.ndarray,
+                   xs: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation (IC_Angle, ORBextractor.cpp:76-103).
+
+    `level_img_padded` is reflect-padded by SAMPLE_PAD; ys/xs are unpadded
+    level coords.  Patch moments as one (K,961)x(961,2) matmul.
+    """
+    k = ys.shape[0]
+    offs = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)
+    rows = ys[:, None] + SAMPLE_PAD + offs[None, :]          # (K, 31)
+    cols = xs[:, None] + SAMPLE_PAD + offs[None, :]
+    patches = level_img_padded[rows[:, :, None], cols[:, None, :]]  # (K,31,31)
+    moments = jnp.dot(patches.reshape(k, -1), jnp.asarray(ic_weights()),
+                      preferred_element_type=jnp.float32)    # (K, 2) = m10, m01
+    return jnp.arctan2(moments[:, 1], moments[:, 0])
+
+
+def compute_descriptors(blurred_padded: jnp.ndarray, ys: jnp.ndarray,
+                        xs: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+    """Rotated BRIEF bits (K, 256) — computeOrbDescriptor equivalent
+    (ORBextractor.cpp:107-146): sample offsets rotated by the keypoint angle,
+    rounded to integer pixels; bit = I(p1) < I(p2)."""
+    pat = jnp.asarray(brief_pattern())           # (256, 4) x1 y1 x2 y2
+    px = jnp.concatenate([pat[:, 0], pat[:, 2]])  # (512,)
+    py = jnp.concatenate([pat[:, 1], pat[:, 3]])
+    a = jnp.cos(angles)[:, None]                 # (K, 1)
+    b = jnp.sin(angles)[:, None]
+    col_off = jnp.round(px[None, :] * a - py[None, :] * b).astype(jnp.int32)
+    row_off = jnp.round(px[None, :] * b + py[None, :] * a).astype(jnp.int32)
+    hp, wp = blurred_padded.shape
+    rows = jnp.clip(ys[:, None] + SAMPLE_PAD + row_off, 0, hp - 1)
+    cols = jnp.clip(xs[:, None] + SAMPLE_PAD + col_off, 0, wp - 1)
+    flat = blurred_padded.reshape(-1)
+    samples = jnp.take(flat, rows * wp + cols, axis=0)       # (K, 512)
+    t1, t2 = samples[:, :256], samples[:, 256:]
+    return (t1 < t2).astype(jnp.uint8)
+
+
+# --------------------------------------------------------------------------
+# Full extractor
+# --------------------------------------------------------------------------
+
+def extract(img: jnp.ndarray, cfg: ORBConfig) -> Keypoints:
+    """(H, W) float32 grayscale [0,255] → Keypoints with capacity
+    cfg.max_keypoints.  Jit-compatible; shapes depend only on (H, W, cfg)."""
+    levels = imops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+    quotas = features_per_level(cfg)
+
+    parts = []
+    for lvl, (img_l, quota) in enumerate(zip(levels, quotas)):
+        score = fast.corner_score(img_l)
+        ys, xs, resp = detect_level(score, quota, float(cfg.ini_th_fast),
+                                    float(cfg.min_th_fast))
+        valid = resp > 0
+        padded = imops.reflect_pad(img_l, SAMPLE_PAD)
+        angles = compute_angles(padded, ys, xs)
+        # round: the reference blurs uint8→uint8; integer quantization matters
+        # for BRIEF near-tie comparisons (descriptor-parity tests)
+        blurred = jnp.clip(jnp.round(imops.gaussian_blur(img_l, 7, 2.0)), 0.0, 255.0)
+        blurred_padded = imops.reflect_pad(blurred, SAMPLE_PAD)
+        bits = compute_descriptors(blurred_padded, ys, xs, angles)
+        scale = cfg.scale_factor ** lvl   # coords → level 0 (ORBextractor.cpp:1148)
+        uv = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale
+        parts.append(dict(
+            uv=uv, response=resp, angle=angles,
+            octave=jnp.full_like(ys, lvl), desc_bits=bits, mask=valid))
+
+    cat = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
+    k_cap = cfg.max_keypoints
+    n = cat["mask"].shape[0]
+    if n < k_cap:
+        pad = k_cap - n
+        cat = {k: jnp.concatenate([v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+               for k, v in cat.items()}
+    elif n > k_cap:
+        # keep highest-response overall if quotas exceed capacity
+        _, keep_idx = jax.lax.top_k(jnp.where(cat["mask"], cat["response"], -1.0),
+                                    k_cap)
+        cat = {k: v[keep_idx] for k, v in cat.items()}
+    mask = cat.pop("mask")
+    return Keypoints(uv=cat["uv"], response=cat["response"], angle=cat["angle"],
+                     octave=cat["octave"].astype(jnp.int32),
+                     desc_bits=cat["desc_bits"],
+                     desc_packed=hamming.pack_bits(cat["desc_bits"]),
+                     mask=mask)

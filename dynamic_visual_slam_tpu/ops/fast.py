@@ -1,0 +1,67 @@
+"""FAST-9/16 corner score — fully vectorized over the whole image.
+
+The reference calls cv::FAST per 35-px cell with threshold 20 and a per-cell
+fallback to 7 (ORBextractor.cpp:785-859).  On TPU the natural formulation is a
+single dense *corner-score map*: score(p) = the maximum threshold t at which p
+is still a FAST-9 corner (OpenCV's cornerScore).  Then
+
+    detected at threshold t  ⇔  score > t
+
+so one score map serves both thresholds and the per-cell fallback becomes pure
+mask algebra (see frontend/orb.py).  The arc-of-9 minimum is computed with a
+log-step rolled-min (4 elementwise passes over a (16,H,W) stack) — everything
+fuses into a handful of VPU passes under XLA.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3, OpenCV pixel order (dy=row, dx=col), index 0 at
+# 12 o'clock going clockwise.
+CIRCLE_DYDX = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+ARC_LEN = 9  # FAST-9/16
+
+
+def _circle_stack(padded: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(H+6, W+6) padded image → (16, H, W) circle-neighbor values."""
+    return jnp.stack([padded[3 + dy:3 + dy + h, 3 + dx:3 + dx + w]
+                      for dy, dx in CIRCLE_DYDX])
+
+
+def _windowed_min9(d: jnp.ndarray) -> jnp.ndarray:
+    """Min over each of the 16 circular windows of length 9 along axis 0.
+
+    log-step: min9[k] = min(d[k..k+8 mod 16]) built from rolled partial mins.
+    """
+    m = d
+    m = jnp.minimum(m, jnp.roll(m, -1, axis=0))   # len-2 mins
+    m = jnp.minimum(m, jnp.roll(m, -2, axis=0))   # len-4
+    m = jnp.minimum(m, jnp.roll(m, -4, axis=0))   # len-8
+    return jnp.minimum(m, jnp.roll(d, -8, axis=0))  # len-9
+
+
+def corner_score(img: jnp.ndarray) -> jnp.ndarray:
+    """Dense FAST-9 corner score map (H, W), float32.
+
+    score(p) = max(max_k min(v_i - p over arc k), max_k min(p - v_i over arc k))
+
+    OpenCV's FAST-9 detects p at threshold t iff some 9-arc is entirely
+    brighter than p+t or darker than p-t (strict), which is exactly
+    ``score(p) > t`` — verified bit-exact against cv2 in tests/test_orb.py.
+    (cv2's reported cornerScore is this minus one; the offset is irrelevant
+    for NMS ordering.)  The image border (3 px) is scored against reflected
+    pixels, so callers get detections up to the edge (the reference's
+    bordered pyramid has the same effect).
+    """
+    img = img.astype(jnp.float32)
+    h, w = img.shape
+    padded = jnp.pad(img, 3, mode="reflect")
+    v = _circle_stack(padded, h, w)          # (16, H, W)
+    d = v - img[None]                         # brighter-than-center diffs
+    bright = jnp.max(_windowed_min9(d), axis=0)
+    dark = jnp.max(_windowed_min9(-d), axis=0)
+    return jnp.maximum(bright, dark)

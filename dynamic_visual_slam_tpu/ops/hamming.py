@@ -1,0 +1,75 @@
+"""Hamming descriptor distance + brute-force matching on the MXU.
+
+The reference does O(N*M) byte-wise popcount matching on CPU
+(cv::BFMatcher(NORM_HAMMING), frontend.cpp:220,1123; backend.cpp:222,1072).
+On TPU, with descriptors kept as 256 unpacked bits, Hamming distance is a
+matmul:  popcount(a XOR b) = |a| + |b| - 2 a.b  — so the whole N x M distance
+matrix is one (N,256)x(256,M) MXU contraction plus rank-1 corrections.
+
+Descriptors: `bits` are (N, 256) in {0,1} (uint8 or float); `packed` is the
+32-byte OpenCV wire format (LSB-first per byte) used for APIs/storage.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from dynamic_visual_slam_tpu.core.containers import masked_argmin
+
+_BYTE_WEIGHTS = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint8)
+
+
+def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(N, 256) {0,1} → (N, 32) uint8, LSB-first within each byte
+    (matches OpenCV's `val |= (t1 < t2) << bit`, ORBextractor.cpp:107-146)."""
+    n = bits.shape[0]
+    b = bits.astype(jnp.uint8).reshape(n, 32, 8)
+    return jnp.sum(b * _BYTE_WEIGHTS[None, None, :], axis=-1, dtype=jnp.uint8)
+
+
+def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
+    """(N, 32) uint8 → (N, 256) uint8 in {0,1}."""
+    n = packed.shape[0]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[:, :, None] >> shifts[None, None, :]) & 1
+    return bits.reshape(n, 256)
+
+
+def hamming_matrix(a_bits: jnp.ndarray, b_bits: jnp.ndarray) -> jnp.ndarray:
+    """(N,256),(M,256) {0,1} → (N,M) float32 Hamming distances via MXU."""
+    a = a_bits.astype(jnp.bfloat16)
+    b = b_bits.astype(jnp.bfloat16)
+    dot = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    na = jnp.sum(a.astype(jnp.float32), axis=1)
+    nb = jnp.sum(b.astype(jnp.float32), axis=1)
+    return na[:, None] + nb[None, :] - 2.0 * dot
+
+
+class MatchResult(NamedTuple):
+    """For each query row: best train index, distance, validity."""
+
+    train_idx: jnp.ndarray   # (N,) int32
+    distance: jnp.ndarray    # (N,) float32
+    valid: jnp.ndarray       # (N,) bool
+
+
+def match(query_bits: jnp.ndarray, train_bits: jnp.ndarray,
+          query_mask: jnp.ndarray, train_mask: jnp.ndarray,
+          max_distance: float = 256.0, cross_check: bool = False) -> MatchResult:
+    """BFMatcher.match equivalent: nearest train descriptor per query, with a
+    distance gate (reference filters < 50 afterwards, frontend.cpp:1126).
+
+    cross_check=True additionally requires the query to be its train match's
+    nearest query (mutual NN).
+    """
+    d = hamming_matrix(query_bits, train_bits)          # (N, M)
+    pair_ok = query_mask[:, None] & train_mask[None, :]
+    idx, dist, any_valid = masked_argmin(d, pair_ok, axis=1)
+    valid = any_valid & (dist < max_distance) & query_mask
+    if cross_check:
+        ridx, _, r_ok = masked_argmin(d, pair_ok, axis=0)
+        mutual = ridx[idx] == jnp.arange(d.shape[0])
+        valid = valid & mutual & r_ok[idx]
+    return MatchResult(idx.astype(jnp.int32), dist, valid)

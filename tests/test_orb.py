@@ -1,0 +1,168 @@
+"""Golden-value tests of the ORB frontend against the OpenCV CPU oracle
+(SURVEY.md §4: 'golden-value unit tests of each kernel against OpenCV/Ceres
+CPU oracles')."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamic_visual_slam_tpu.config import ORBConfig
+from dynamic_visual_slam_tpu.frontend import orb
+from dynamic_visual_slam_tpu.ops import fast, hamming
+from dynamic_visual_slam_tpu.ops import image as imops
+
+
+@pytest.fixture(scope="module")
+def scene():
+    """Deterministic corner-rich test image (circles + squares, like the
+    reference's synthetic fixture at test_dbow2_integration.cpp:14-17)."""
+    rng = np.random.default_rng(42)
+    img = rng.uniform(0, 30, (240, 320)).astype(np.float32)
+    for _ in range(40):
+        y, x = int(rng.integers(20, 200)), int(rng.integers(20, 280))
+        img[y:y + int(rng.integers(10, 25)), x:x + int(rng.integers(10, 25))] += \
+            float(rng.uniform(70, 170))
+    cv2.circle(img, (80, 60), 20, 255, -1)
+    cv2.circle(img, (240, 170), 30, 200, -1)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+class TestFAST:
+    def test_matches_opencv_fast(self, scene):
+        u8 = scene.astype(np.uint8)
+        det = cv2.FastFeatureDetector_create(threshold=20, nonmaxSuppression=True)
+        cv_kps = {(int(k.pt[0]), int(k.pt[1])) for k in det.detect(u8)}
+
+        score = np.asarray(fast.corner_score(jnp.asarray(u8.astype(np.float32))))
+        peak = (score >= np.asarray(imops.maxpool_same(jnp.asarray(score), 3)))
+        ours = peak & (score > 20)
+        # restrict to cv2's detection region (3px border excluded)
+        ours[:3], ours[-3:], ours[:, :3], ours[:, -3:] = False, False, False, False
+        our_kps = {(x, y) for y, x in zip(*np.nonzero(ours))}
+
+        inter = len(cv_kps & our_kps)
+        union = len(cv_kps | our_kps)
+        assert len(cv_kps) > 50, "oracle found too few corners"
+        # NMS tie-breaking differs; demand high overlap, not identity
+        assert inter / union > 0.8, (len(cv_kps), len(our_kps), inter)
+
+    def test_score_equals_opencv_threshold_semantics(self, scene):
+        """score > t  ⇔  detected by cv2.FAST(t, nms=False), sampled at several t."""
+        u8 = scene.astype(np.uint8)
+        score = np.asarray(fast.corner_score(jnp.asarray(u8.astype(np.float32))))
+        for t in (7, 20, 40):
+            det = cv2.FastFeatureDetector_create(threshold=t, nonmaxSuppression=False)
+            cv_mask = np.zeros(u8.shape, bool)
+            for k in det.detect(u8):
+                cv_mask[int(k.pt[1]), int(k.pt[0])] = True
+            ours = score > t
+            interior = np.zeros_like(ours)
+            interior[3:-3, 3:-3] = True
+            agree = (ours == cv_mask)[interior].mean()
+            assert agree == 1.0, (t, agree)
+
+
+def ic_angle_reference(img: np.ndarray, x: int, y: int) -> float:
+    """Direct transcription of the reference IC_Angle (ORBextractor.cpp:76-103)
+    as a numpy oracle — cv2 5.0's compute() does not recompute user-keypoint
+    angles, so the formula itself is the golden source."""
+    umax = orb.ic_umax()
+    m01 = m10 = 0.0
+    for v in range(-15, 16):
+        for u in range(-15, 16):
+            if abs(u) <= umax[abs(v)]:
+                val = float(img[y + v, x + u])
+                m10 += u * val
+                m01 += v * val
+    return float(np.degrees(np.arctan2(m01, m10))) % 360
+
+
+class TestOrientationDescriptors:
+    def test_ic_angle_matches_reference_formula(self, scene):
+        u8 = scene.astype(np.uint8)
+        pts = [(50, 50), (80, 60), (160, 120), (240, 170), (100, 200)]
+        padded = imops.reflect_pad(jnp.asarray(u8.astype(np.float32)), orb.SAMPLE_PAD)
+        xs = jnp.asarray([p[0] for p in pts])
+        ys = jnp.asarray([p[1] for p in pts])
+        ours = np.rad2deg(np.asarray(orb.compute_angles(padded, ys, xs))) % 360
+        want = np.asarray([ic_angle_reference(u8, x, y) for x, y in pts])
+        diff = np.minimum(np.abs(ours - want), 360 - np.abs(ours - want))
+        assert diff.max() < 0.01, (ours, want)
+
+    def test_descriptors_match_opencv(self, scene):
+        u8 = scene.astype(np.uint8)
+        rng = np.random.default_rng(0)
+        pts = [(int(x), int(y)) for x, y in
+               zip(rng.integers(30, 290, 20), rng.integers(30, 210, 20))]
+
+        imgf = jnp.asarray(u8.astype(np.float32))
+        padded = imops.reflect_pad(imgf, orb.SAMPLE_PAD)
+        blurred_padded = imops.reflect_pad(
+            jnp.round(imops.gaussian_blur(imgf, 7, 2.0)), orb.SAMPLE_PAD)
+        xs = jnp.asarray([p[0] for p in pts])
+        ys = jnp.asarray([p[1] for p in pts])
+        angles = orb.compute_angles(padded, ys, xs)
+        bits = orb.compute_descriptors(blurred_padded, ys, xs, angles)
+        packed = np.asarray(hamming.pack_bits(bits))
+
+        # cv2 oracle with OUR angles injected (cv2 compute() keeps given angles)
+        deg = np.rad2deg(np.asarray(angles)) % 360
+        cv_kps = [cv2.KeyPoint(float(x), float(y), 31, float(a))
+                  for (x, y), a in zip(pts, deg)]
+        det = cv2.ORB_create(nlevels=1, edgeThreshold=19)
+        cv_kps, cv_desc = det.compute(u8, cv_kps)
+
+        # per-keypoint Hamming distance to the OpenCV descriptor
+        dists = [bin(int.from_bytes(bytes(a ^ b), "big")).count("1")
+                 for a, b in zip(packed, np.asarray(cv_desc, np.uint8))]
+        # residual ≤1-bit median from float rounding at exact ties
+        assert np.median(dists) <= 3, dists
+        assert np.mean(dists) <= 5, dists
+
+
+class TestExtractor:
+    def test_full_extract(self, scene):
+        cfg = ORBConfig(n_features=500)
+        kps = jax.jit(lambda x: orb.extract(x, cfg))(jnp.asarray(scene))
+        n = int(kps.count())
+        assert 300 <= n <= 500, n
+        m = np.asarray(kps.mask)
+        # spatial spread: keypoints cover a good part of the image
+        uv = np.asarray(kps.uv)[m]
+        assert uv[:, 0].std() > 40 and uv[:, 1].std() > 30
+        # octave quota distribution decreases geometrically
+        hist = np.bincount(np.asarray(kps.octave)[m], minlength=8)
+        assert hist[0] > hist[3] > hist[7] >= 0
+        # packed/unpacked descriptors consistent
+        bits2 = np.asarray(hamming.unpack_bits(kps.desc_packed))
+        np.testing.assert_array_equal(bits2[m], np.asarray(kps.desc_bits)[m])
+
+    def test_quotas_sum_to_n_features(self):
+        cfg = ORBConfig()
+        q = orb.features_per_level(cfg)
+        assert sum(q) == cfg.n_features
+        assert q[0] == 217  # reference geometric split for 1000/8/1.2
+
+
+class TestMatching:
+    def test_hamming_matrix_exact(self):
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 2, (64, 256)).astype(np.uint8)
+        b = rng.integers(0, 2, (48, 256)).astype(np.uint8)
+        d = np.asarray(hamming.hamming_matrix(jnp.asarray(a), jnp.asarray(b)))
+        want = (a[:, None, :] != b[None, :, :]).sum(-1)
+        np.testing.assert_array_equal(d.astype(np.int32), want)
+
+    def test_match_gate_and_crosscheck(self):
+        rng = np.random.default_rng(2)
+        train = rng.integers(0, 2, (32, 256)).astype(np.uint8)
+        noise = (rng.random((32, 256)) < 0.05).astype(np.uint8)
+        query = train ^ noise
+        qm = jnp.ones(32, bool)
+        res = hamming.match(jnp.asarray(query), jnp.asarray(train), qm, qm,
+                            max_distance=50.0, cross_check=True)
+        assert bool(res.valid.all())
+        np.testing.assert_array_equal(np.asarray(res.train_idx), np.arange(32))
+        assert float(res.distance.max()) < 50
