@@ -169,7 +169,11 @@ def detect_level(score: jnp.ndarray, quota: int, ini_th: float, min_th: float
     flat_val = cand_val.reshape(-1)
     flat_y = cy.reshape(-1)
     flat_x = cx.reshape(-1)
-    top_val, top_idx = jax.lax.top_k(flat_val, quota)
+    k_eff = min(quota, flat_val.shape[0])   # tiny coarse levels on small images
+    top_val, top_idx = jax.lax.top_k(flat_val, k_eff)
+    if k_eff < quota:
+        top_val = jnp.concatenate([top_val, jnp.full(quota - k_eff, -jnp.inf)])
+        top_idx = jnp.concatenate([top_idx, jnp.zeros(quota - k_eff, top_idx.dtype)])
     ys = flat_y[top_idx]
     xs = flat_x[top_idx]
     # strip the spread boost to recover the raw score

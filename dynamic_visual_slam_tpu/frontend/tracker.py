@@ -1,0 +1,220 @@
+"""Per-frame RGB-D tracking — the reference frontend's hot loop as ONE jitted
+step function.
+
+Reference: Frontend::syncCallback (frontend.cpp:1068-1334): ORB extraction →
+depth filter → descriptor match to previous frame → fundamental-matrix
+verification → PnP pose → motion gate → global pose accumulation → keyframe
+policy → backend-feature culling → keyframe publication.
+
+TPU redesign: the whole chain is a pure function (TrackerState, gray, depth)
+→ (TrackerState, TrackOutput) with static shapes, so XLA compiles one fused
+program per camera size; the first-frame / tracking-lost branches are mask
+selects, not Python control flow.  Everything downstream (the mapping
+backend) consumes the fixed-capacity keyframe block in TrackOutput — the
+moral equivalent of Keyframe.msg (dynamic_visual_slam_interfaces/msg/
+Keyframe.msg) without the DDS hop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_visual_slam_tpu.config import SLAMConfig
+from dynamic_visual_slam_tpu.core import camera as cam
+from dynamic_visual_slam_tpu.core import lie
+from dynamic_visual_slam_tpu.core.camera import Intrinsics
+from dynamic_visual_slam_tpu.frontend import ransac
+from dynamic_visual_slam_tpu.frontend.orb import Keypoints, extract
+from dynamic_visual_slam_tpu.ops import hamming
+
+
+class KeyframeBlock(NamedTuple):
+    """Fixed-capacity keyframe payload — Keyframe.msg equivalent
+    (landmark ids are assigned by the backend; slots are local indices)."""
+
+    q_wc: jnp.ndarray        # (4,) camera-to-world rotation (optical frame)
+    t_wc: jnp.ndarray        # (3,)
+    uv: jnp.ndarray          # (C, 2) pixel observations
+    xyz_w: jnp.ndarray       # (C, 3) world positions (frontend triangulation
+    #                          = backprojected current depth, frontend.cpp:732-752)
+    desc_bits: jnp.ndarray   # (C, 256)
+    desc_packed: jnp.ndarray  # (C, 32)
+    response: jnp.ndarray    # (C,)
+    mask: jnp.ndarray        # (C,)
+    frame_idx: jnp.ndarray   # () int32
+    timestamp: jnp.ndarray   # () float64-ish seconds (float32 here)
+
+
+class TrackerState(NamedTuple):
+    q_wc: jnp.ndarray            # (4,) accumulated camera-to-world pose
+    t_wc: jnp.ndarray            # (3,)
+    prev: Keypoints              # previous frame's depth-valid keypoints
+    prev_depth: jnp.ndarray      # (K,) metric depth at prev keypoints
+    has_prev: jnp.ndarray        # () bool
+    kf_desc_bits: jnp.ndarray    # (C,256) last keyframe descriptors
+    kf_mask: jnp.ndarray         # (C,)
+    has_kf: jnp.ndarray          # () bool
+    frames_since_kf: jnp.ndarray  # () int32
+    frame_idx: jnp.ndarray       # () int32
+    rng: jax.Array
+
+
+class TrackOutput(NamedTuple):
+    q_wc: jnp.ndarray
+    t_wc: jnp.ndarray
+    tracking_ok: jnp.ndarray     # () bool — pose was updated this frame
+    n_features: jnp.ndarray      # () int32 depth-valid keypoints
+    n_matches: jnp.ndarray       # () int32 hamming-gated matches
+    n_inliers: jnp.ndarray       # () int32 fundamental inliers
+    n_pnp_inliers: jnp.ndarray
+    is_keyframe: jnp.ndarray     # () bool
+    keyframe: KeyframeBlock      # payload valid iff is_keyframe
+
+
+def init_state(cfg: SLAMConfig) -> TrackerState:
+    k = cfg.orb.max_keypoints
+    c = cfg.map.max_obs_per_keyframe
+    zkp = Keypoints(
+        uv=jnp.zeros((k, 2), jnp.float32), response=jnp.zeros(k, jnp.float32),
+        angle=jnp.zeros(k, jnp.float32), octave=jnp.zeros(k, jnp.int32),
+        desc_bits=jnp.zeros((k, 256), jnp.uint8),
+        desc_packed=jnp.zeros((k, 32), jnp.uint8), mask=jnp.zeros(k, bool))
+    return TrackerState(
+        q_wc=lie.quat_identity(), t_wc=jnp.zeros(3, jnp.float32),
+        prev=zkp, prev_depth=jnp.zeros(k, jnp.float32),
+        has_prev=jnp.asarray(False),
+        kf_desc_bits=jnp.zeros((c, 256), jnp.uint8),
+        kf_mask=jnp.zeros(c, bool), has_kf=jnp.asarray(False),
+        frames_since_kf=jnp.asarray(0, jnp.int32),
+        frame_idx=jnp.asarray(0, jnp.int32), rng=jax.random.key(0))
+
+
+def _depth_at(depth_m: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-pixel metric depth lookup (isValidDepth, frontend.cpp:457-473)."""
+    h, w = depth_m.shape
+    x = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
+    return depth_m[y, x]
+
+
+def _select_keyframe_features(cfg: SLAMConfig, kps: Keypoints,
+                              fm_inlier_curr: jnp.ndarray) -> jnp.ndarray:
+    """Backend-feature culling (frontend.cpp:1171-1219): all fundamental
+    inliers + the top cull_top_unmatched unmatched keypoints with response
+    >= cull_min_response.  Returns a (K,) keep mask."""
+    unmatched = kps.mask & ~fm_inlier_curr & \
+        (kps.response >= cfg.keyframe.cull_min_response)
+    score = jnp.where(unmatched, kps.response, -1.0)
+    _, top_idx = jax.lax.top_k(score, cfg.keyframe.cull_top_unmatched)
+    top_mask = jnp.zeros_like(unmatched).at[top_idx].set(True) & unmatched
+    return (fm_inlier_curr & kps.mask) | top_mask
+
+
+def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
+               depth_m: jnp.ndarray, timestamp: jnp.ndarray
+               ) -> Tuple[TrackerState, TrackOutput]:
+    """One frame.  gray: (H,W) float32 [0,255]; depth_m: (H,W) float32 metres."""
+    k = Intrinsics.from_config(cfg.camera)
+    rng, k_fm, k_pnp = jax.random.split(state.rng, 3)
+
+    # --- extraction + depth filter (frontend.cpp:1094-1100,503-527) ---------
+    kps = extract(gray, cfg.orb)
+    z = _depth_at(depth_m, kps.uv)
+    depth_ok = (z > cfg.depth.min_depth) & (z < cfg.depth.max_depth)
+    kps = kps._replace(mask=kps.mask & depth_ok)
+    n_feat = kps.count()
+    lost = n_feat == 0   # tracking reset (frontend.cpp:1107-1117)
+
+    # --- match current → previous (frontend.cpp:1123-1127) ------------------
+    m = hamming.match(kps.desc_bits, state.prev.desc_bits, kps.mask,
+                      state.prev.mask & state.has_prev,
+                      max_distance=float(cfg.match.max_hamming))
+    n_match = jnp.sum(m.valid.astype(jnp.int32))
+
+    # --- geometric verification (frontend.cpp:1146-1147) --------------------
+    uv_prev = state.prev.uv[m.train_idx]
+    fm = ransac.fundamental_ransac(uv_prev, kps.uv, m.valid, k_fm,
+                                   n_hyp=cfg.ransac.fm_iterations,
+                                   threshold=cfg.ransac.fm_threshold_px)
+    fm_inlier = fm.inliers & fm.valid
+    n_inlier = jnp.sum(fm_inlier.astype(jnp.int32))
+
+    # --- PnP: previous-frame 3D from prev depth → current pixels ------------
+    # (estimateCameraPose, frontend.cpp:843-948)
+    z_prev = state.prev_depth[m.train_idx]
+    pnp_ok_pts = fm_inlier & (z_prev > cfg.depth.min_depth) & \
+        (z_prev <= cfg.depth.max_depth)
+    xyz_prev = cam.backproject(k, uv_prev, z_prev)
+    pnp = ransac.pnp_ransac(k, xyz_prev, kps.uv, pnp_ok_pts, k_pnp,
+                            n_hyp=cfg.ransac.pnp_iterations,
+                            threshold=cfg.ransac.pnp_threshold_px,
+                            min_inliers=cfg.ransac.min_pnp_matches,
+                            refine_iters=cfg.ransac.refine_iterations)
+
+    # pnp gives T mapping prev-camera coords → current camera; invert to get
+    # the current camera's pose in the previous frame (frontend.cpp:930-938)
+    q_inv, t_inv = lie.se3_inverse(pnp.q, pnp.t)
+    rvec = lie.so3_log(q_inv)
+    motion_ok = (jnp.linalg.norm(t_inv) <= cfg.motion.max_translation_m) & \
+        (jnp.linalg.norm(rvec) <= cfg.motion.max_rotation_rad)  # frontend.cpp:549-570
+    accept = pnp.valid & motion_ok & state.has_prev & ~lost
+
+    # global accumulation T_wc ← T_wc ∘ T_prev←curr (frontend.cpp:947-948)
+    q_new, t_new = lie.se3_compose(state.q_wc, state.t_wc, q_inv, t_inv)
+    q_wc = jnp.where(accept, q_new, state.q_wc)
+    t_wc = jnp.where(accept, t_new, state.t_wc)
+
+    # --- keyframe policy (isKeyframe, frontend.cpp:601-662) -----------------
+    kf_m = hamming.match(kps.desc_bits, state.kf_desc_bits, kps.mask,
+                         state.kf_mask & state.has_kf,
+                         max_distance=float(cfg.match.max_hamming))
+    n_kf_matches = jnp.sum(kf_m.valid.astype(jnp.int32))
+    is_kf = (~state.has_kf) | \
+        (n_kf_matches < cfg.keyframe.min_matches_to_last_kf) | \
+        (state.frames_since_kf >= cfg.keyframe.max_frames_between_kf)
+    is_kf = is_kf & ~lost
+
+    # --- keyframe payload: culled features + world positions ----------------
+    keep = _select_keyframe_features(cfg, kps, fm_inlier)
+    # first frame: publish all depth-valid keypoints (frontend.cpp:1277-1316)
+    keep = jnp.where(state.has_prev, keep, kps.mask)
+    cap = cfg.map.max_obs_per_keyframe
+    sel_score = jnp.where(keep, kps.response, -1.0)
+    _, sel_idx = jax.lax.top_k(sel_score, cap)
+    sel_valid = jnp.take(keep, sel_idx)
+    xyz_c = cam.backproject(k, kps.uv[sel_idx], z[sel_idx])
+    xyz_w = cam.camera_to_world(q_wc, t_wc, xyz_c)
+    kf_block = KeyframeBlock(
+        q_wc=q_wc, t_wc=t_wc, uv=kps.uv[sel_idx], xyz_w=xyz_w,
+        desc_bits=kps.desc_bits[sel_idx], desc_packed=kps.desc_packed[sel_idx],
+        response=kps.response[sel_idx], mask=sel_valid & is_kf,
+        frame_idx=state.frame_idx, timestamp=timestamp)
+
+    # --- state update (frontend.cpp:1258-1275) ------------------------------
+    new_state = TrackerState(
+        q_wc=q_wc, t_wc=t_wc, prev=kps, prev_depth=z,
+        has_prev=~lost,
+        kf_desc_bits=jnp.where(is_kf, kf_block.desc_bits, state.kf_desc_bits),
+        kf_mask=jnp.where(is_kf, kf_block.mask, state.kf_mask),
+        # reference quirk: the first-frame branch publishes a keyframe without
+        # arming the policy (has_last_keyframe_ is only set inside isKeyframe,
+        # frontend.cpp:603-605), so frames 0 AND 1 both become keyframes
+        has_kf=state.has_kf | (is_kf & state.has_prev),
+        frames_since_kf=jnp.where(is_kf, 0, state.frames_since_kf + 1),
+        frame_idx=state.frame_idx + 1, rng=rng)
+
+    out = TrackOutput(
+        q_wc=q_wc, t_wc=t_wc, tracking_ok=accept, n_features=n_feat,
+        n_matches=n_match, n_inliers=n_inlier, n_pnp_inliers=pnp.n_inliers,
+        is_keyframe=is_kf, keyframe=kf_block)
+    return new_state, out
+
+
+def make_jitted_step(cfg: SLAMConfig):
+    """Returns a donated-state jitted step closed over the config."""
+    def step(state, gray, depth_m, timestamp):
+        return track_step(cfg, state, gray, depth_m, timestamp)
+    return jax.jit(step, donate_argnums=(0,))
