@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Headline benchmark: 720p RGB-D tracking frames/sec on one TPU chip.
+
+Reference baseline: 30 FPS real-time at 1280x720 on CPU (README.md:123,235);
+rebuild north-star: >=60 FPS (BASELINE.json).  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 30.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dynamic_visual_slam_tpu.config import SLAMConfig
+    from dynamic_visual_slam_tpu.frontend import tracker
+    from dynamic_visual_slam_tpu.io import synthetic
+
+    cfg = SLAMConfig()  # 1280x720 default camera
+    step = tracker.make_jitted_step(cfg)
+    state = tracker.init_state(cfg)
+
+    # a short synthetic 720p sequence; frames cycled during timing
+    frames = []
+    for gray, depth, _, _, ts in synthetic.generate_sequence(cfg.camera, 6,
+                                                             seed=3):
+        frames.append((jnp.asarray(gray), jnp.asarray(depth),
+                       jnp.asarray(ts, jnp.float32)))
+
+    # warmup: compile + first keyframe handling
+    for i in range(2):
+        state, out = step(state, *frames[i])
+    out.q_wc.block_until_ready()
+
+    n_timed = 30
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        g, d, _ = frames[2 + (i % 4)]
+        state, out = step(state, g, d, jnp.asarray(2.0 + i / 30.0, jnp.float32))
+    out.q_wc.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = n_timed / dt
+    print(json.dumps({
+        "metric": "720p RGB-D tracking throughput (1x TPU chip)",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,4 +24,15 @@ compiles to one XLA program.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry code (DLT nullspaces, Gauss-Newton normal equations, blur band
+# matrices) needs true f32 matmuls.  JAX's default matmul precision downcasts
+# f32 inputs to bf16 on TPU *and* CPU — measured 0.25 greyscale mean error in
+# the blur and broken LM convergence.  "highest" = 6-pass bf16 on the MXU,
+# still fast at our sizes.  Deliberately-low-precision paths (YOLO inference,
+# Hamming bit matmuls) opt in to bf16 via explicit dtypes, which this setting
+# does not affect.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from dynamic_visual_slam_tpu.config import SLAMConfig  # noqa: F401

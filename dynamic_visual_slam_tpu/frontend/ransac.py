@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from dynamic_visual_slam_tpu.core import lie
 from dynamic_visual_slam_tpu.core.camera import Intrinsics
+from dynamic_visual_slam_tpu.ops import linalg_small as ls
 
 
 def _sample_indices(key: jax.Array, n_hyp: int, sample_size: int,
@@ -81,12 +82,14 @@ def _eight_point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     x1, y1 = n1[:, 0], n1[:, 1]
     x2, y2 = n2[:, 0], n2[:, 1]
     ones = jnp.ones_like(x1)
-    # x2ᵀ F x1 = 0 rows
+    # x2ᵀ F x1 = 0 rows; nullspace via batched-friendly AᵀA smallest eigvec
+    # (jnp.linalg.svd lowers to a sequential loop on TPU — avoided)
     a = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], -1)
-    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    f = vt[-1].reshape(3, 3)
-    u, s, vt2 = jnp.linalg.svd(f)
-    f2 = (u * s.at[2].set(0.0)[None, :]) @ vt2
+    f = ls.smallest_eigvec(a.T @ a).reshape(3, 3)
+    # rank-2 projection: F(I − v₃v₃ᵀ) with v₃ the smallest right-singular vec
+    _, v = ls.eigh3x3(f.T @ f)
+    v3 = v[..., 0]
+    f2 = f - jnp.outer(f @ v3, v3)
     return t2.T @ f2 @ t1
 
 
@@ -130,10 +133,10 @@ def fundamental_ransac(p1: jnp.ndarray, p2: jnp.ndarray, mask: jnp.ndarray,
     x2, y2 = n2[:, 0], n2[:, 1]
     a = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1,
                    jnp.ones_like(x1)], -1) * w[:, None]
-    _, vecs = jnp.linalg.eigh(a.T @ a)
-    f = vecs[:, 0].reshape(3, 3)
-    u, s, vt = jnp.linalg.svd(f)
-    f = t2.T @ ((u * s.at[2].set(0.0)[None, :]) @ vt) @ t1
+    f = ls.smallest_eigvec(a.T @ a).reshape(3, 3)
+    _, v = ls.eigh3x3(f.T @ f)
+    v3 = v[..., 0]
+    f = t2.T @ (f - jnp.outer(f @ v3, v3)) @ t1
     refined_inl = (_epipolar_errors(f, p1, p2) < threshold) & mask
     refined_n = jnp.sum(refined_inl)
     use_refined = refined_n >= scores[best]
@@ -167,13 +170,12 @@ def _dlt_pose(xyz: jnp.ndarray, xn: jnp.ndarray):
     rows_u = jnp.concatenate([xh, zeros, -xn[:, :1] * xh], axis=1)
     rows_v = jnp.concatenate([zeros, xh, -xn[:, 1:2] * xh], axis=1)
     a = jnp.concatenate([rows_u, rows_v], axis=0)                # (12,12)
-    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    p = vt[-1].reshape(3, 4)
+    p = ls.smallest_eigvec(a.T @ a).reshape(3, 4)
     # cheirality: mean depth of points must be positive
     depths = xh @ p[2]
     p = p * jnp.where(jnp.mean(depths) < 0, -1.0, 1.0)
     m = p[:, :3]
-    u, s, vt2 = jnp.linalg.svd(m)
+    u, s, vt2 = ls.svd3x3(m)
     det = jnp.linalg.det(u @ vt2)
     d = jnp.diag(jnp.array([1.0, 1.0, 1.0]))
     r = u @ d.at[2, 2].set(det) @ vt2
@@ -221,8 +223,7 @@ def _gauss_newton_refine(k: Intrinsics, q0, t0, xyz, uv, w, iters: int):
         wk = (w * (xc[:, 2] > 1e-6))[:, None, None]
         h = jnp.einsum("kri,krj->ij", jfull * wk, jfull)
         b = jnp.einsum("kri,kr->i", jfull * wk, res)
-        h = h + 1e-6 * jnp.eye(6)
-        dx = -jnp.linalg.solve(h, b)
+        dx = -ls.solve_psd(h, b, damping=1e-6)
         # left-multiplicative update xc' = exp(dθ)·xc + dt composes onto the
         # pose as q' = exp(dθ)·q, t' = exp(dθ)·t + dt
         dq = lie.so3_exp(dx[:3])
