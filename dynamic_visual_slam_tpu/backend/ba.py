@@ -133,9 +133,14 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
         g_pose = jnp.einsum("lwri,lwr->wi", j_pose * whx, r)          # (W,6)
         g_pt = jnp.einsum("lwri,lwr->li", j_pt * whx, r)              # (L,3)
 
-        # LM damping (additive identity, classic Levenberg)
-        u_d = u_blk + lam * jnp.eye(6)[None]
-        v_d = v_blk + lam * jnp.eye(3)[None]
+        # Ceres-style multiplicative damping: J'J + λ·diag(J'J) with the
+        # diagonal clamped away from zero — regularizes near-parallax-free
+        # landmarks whose V blocks are otherwise numerically singular (their
+        # f32 adjugate inverses would poison the Schur complement)
+        du = jnp.clip(jnp.diagonal(u_blk, axis1=-2, axis2=-1), 1e-6, 1e32)
+        dv = jnp.clip(jnp.diagonal(v_blk, axis1=-2, axis2=-1), 1e-6, 1e32)
+        u_d = u_blk + lam * du[..., None] * jnp.eye(6)[None]
+        v_d = v_blk + lam * dv[..., None] * jnp.eye(3)[None]
         v_inv = _inv3x3(v_d, problem.lm_active)
 
         # Schur complement S = U − Σ_l W V⁻¹ Wᵀ  (W,W,6,6)
@@ -152,7 +157,7 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
         s_dense = s_dense + jnp.diag(jnp.where(free, 0.0, 1.0))
         rhs_vec = jnp.where(free, rhs.reshape(-1), 0.0)
 
-        d_pose = -ls.solve_psd(s_dense, rhs_vec).reshape(wcap, 6)
+        d_pose = -ls.solve_psd(s_dense, rhs_vec, refine=2).reshape(wcap, 6)
         # back-substitute landmarks: δx = −V⁻¹(g_pt + Wᵀ δ_pose)
         wtd = jnp.einsum("lwij,wi->lj", w_blk, d_pose)
         d_pt = -jnp.einsum("lij,lj->li", v_inv, g_pt + wtd)
@@ -165,7 +170,12 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
         x_new = xyz + d_pt
         step_sq = jnp.sum(d_pose * d_pose) + jnp.sum(d_pt * d_pt)
         grad_max = jnp.maximum(jnp.max(jnp.abs(g_pose)), jnp.max(jnp.abs(g_pt)))
-        return q_new, t_new, x_new, step_sq, grad_max
+        # predicted cost reduction of the damped quadratic model:
+        # −gᵀδ − ½δᵀHδ = −½gᵀδ + ½λδᵀDδ  (using (H+λD)δ = −g)
+        g_dot_d = jnp.sum(g_pose * d_pose) + jnp.sum(g_pt * d_pt)
+        dtd = jnp.sum(d_pose * d_pose * du) + jnp.sum(d_pt * d_pt * dv)
+        pred = -0.5 * g_dot_d + 0.5 * lam * dtd
+        return q_new, t_new, x_new, step_sq, grad_max, pred
 
     r0, ok0, _ = _residuals(k, q_cw0, t_cw0, problem.xyz, problem.uv,
                             obs_ok, sigma)
@@ -182,15 +192,18 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
         iters: jnp.ndarray
 
     def lm_iter(c: Carry, _):
-        q_new, t_new, x_new, step_sq, grad_max = solve_step(
+        q_new, t_new, x_new, step_sq, grad_max, pred = solve_step(
             c.q_cw, c.t_cw, c.xyz, c.lam)
         r_new, ok_new, _ = _residuals(k, q_new, t_new, x_new, problem.uv,
                                       obs_ok, sigma)
         cost_new = _cost(r_new, ok_new, cfg.huber_delta)
-        accept = cost_new < c.cost
-        # Ceres-ish λ schedule: shrink on success, grow on failure
-        lam = jnp.where(accept, jnp.maximum(c.lam / 3.0, 1e-10),
-                        jnp.minimum(c.lam * 4.0, 1e8))
+        # Ceres trust-region acceptance: gain ratio vs the quadratic model
+        rho = (c.cost - cost_new) / jnp.maximum(pred, 1e-20)
+        accept = (rho > 1e-3) & (cost_new < c.cost)
+        # radius update: λ ×= max(1/3, 1−(2ρ−1)³) on accept; ×2 on reject
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam = jnp.where(accept, jnp.maximum(c.lam * shrink, 1e-12),
+                        jnp.minimum(c.lam * 2.0, 1e10))
         # termination checks (bundle_adjustment.hpp:843-847)
         # a vanishing cost change counts as convergence whether or not the
         # step was an improvement (Ceres CONVERGENCE on function_tolerance)
@@ -273,7 +286,10 @@ def extract_window(cfg, state, max_landmarks: int = 512):
     obs_per_lm = jnp.sum(in_win.astype(jnp.int32), axis=(1, 2))
     score = jnp.where(lm.active, obs_per_lm, -1)
     _, lm_slots = jax.lax.top_k(score, max_landmarks)
-    lm_sel_active = score[lm_slots] > 0
+    # single-observation landmarks give rank-2 V blocks (2 residual rows, 3
+    # unknowns) — pure gauge noise; exclude them (their pose information is
+    # nil: any pose change is absorbed by the free point)
+    lm_sel_active = score[lm_slots] >= 2
 
     sel_in_win = in_win[lm_slots]                       # (Lba, M, W)
     has_obs = jnp.any(sel_in_win, axis=1)               # (Lba, W)
@@ -292,10 +308,16 @@ def extract_window(cfg, state, max_landmarks: int = 512):
 def apply_result(state, result: BAResult, window_slots, lm_slots,
                  min_valid: bool = True):
     """Write optimized poses/points back into the arenas
-    (updateOptimizedResults, backend.cpp:1356-1392).  Applied only when the
-    solve converged, mirroring the reference's success gate."""
+    (updateOptimizedResults, backend.cpp:1356-1392).
+
+    The reference gates on Ceres CONVERGENCE because a failed Ceres solve can
+    return garbage; our LM scan only ever accepts cost-decreasing steps, so
+    any result with final_cost < initial_cost is a strict improvement — gate
+    on that instead (a converged-only gate would throw away good updates
+    whenever the 20-iteration budget ends mid-polish)."""
     lm, kdb = state.landmarks, state.keyframes
-    apply = result.converged if min_valid else jnp.asarray(True)
+    improved = result.final_cost < result.initial_cost
+    apply = improved if min_valid else jnp.asarray(True)
     q = jnp.where(apply, result.q_wc, kdb.q[window_slots])
     t = jnp.where(apply, result.t_wc, kdb.t[window_slots])
     x = jnp.where(apply, result.xyz, lm.xyz[lm_slots])

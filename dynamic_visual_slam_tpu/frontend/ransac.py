@@ -260,10 +260,16 @@ def pnp_ransac(k: Intrinsics, xyz: jnp.ndarray, uv: jnp.ndarray,
 
     q0 = lie.mat_to_quat(rs[best])
     t0 = ts[best]
+    # two refinement rounds with inlier re-selection in between — the DLT-6
+    # minimal solutions are noisy, so the first inlier set is biased; one
+    # re-gate after polishing recovers cv2-grade accuracy (see
+    # tests/test_ransac.py cv2 parity bounds)
     w = inl[best].astype(jnp.float32)
     q, t = _gauss_newton_refine(k, q0, t0, xyz, uv, w, refine_iters)
-    r = lie.quat_to_mat(q)
-    final_err = _reproj_errors(k, r, t, xyz, uv)
+    mid_err = _reproj_errors(k, lie.quat_to_mat(q), t, xyz, uv)
+    w2 = ((mid_err < threshold) & mask).astype(jnp.float32)
+    q, t = _gauss_newton_refine(k, q, t, xyz, uv, w2, refine_iters)
+    final_err = _reproj_errors(k, lie.quat_to_mat(q), t, xyz, uv)
     inliers = (final_err < threshold) & mask
     n_in = jnp.sum(inliers.astype(jnp.int32))
     keep_refined = n_in >= scores[best]

@@ -133,22 +133,35 @@ def procrustes_rotation(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ij,...j,...jk->...ik", u, d, vt)
 
 
-def solve_psd(a: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0) -> jnp.ndarray:
+def solve_psd(a: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0,
+              refine: int = 0) -> jnp.ndarray:
     """Cholesky-free solve for small symmetric positive-definite systems via
-    unrolled Gaussian elimination with partial-pivot-free symmetric pivoting.
-    For the 6x6 Gauss-Newton systems this stays entirely on the VPU.
+    unrolled Gauss-Jordan elimination (pivot-free — fine for PSD, like
+    Cholesky).  For the 6x6 Gauss-Newton systems this stays on the VPU.
+
+    refine > 0 adds rounds of iterative refinement (x += solve(a, b − a x)),
+    recovering ~f64-quality solutions from the f32 elimination on the
+    ill-conditioned Schur systems BA produces (cond ~1e5-1e6).
 
     a: (..., n, n), b: (..., n) → (..., n).
     """
     n = a.shape[-1]
     if damping:
         a = a + damping * jnp.eye(n, dtype=a.dtype)
-    aug = jnp.concatenate([a, b[..., None]], axis=-1)       # (..., n, n+1)
-    for i in range(n):
-        piv = aug[..., i, i:i + 1]
-        piv = jnp.where(jnp.abs(piv) < 1e-20, 1e-20, piv)
-        row = aug[..., i, :] / piv
-        factors = aug[..., :, i:i + 1]
-        aug = aug - factors * row[..., None, :]
-        aug = aug.at[..., i, :].set(row)
-    return aug[..., :, -1]
+
+    def gj(rhs):
+        aug = jnp.concatenate([a, rhs[..., None]], axis=-1)  # (..., n, n+1)
+        for i in range(n):
+            piv = aug[..., i, i:i + 1]
+            piv = jnp.where(jnp.abs(piv) < 1e-20, 1e-20, piv)
+            row = aug[..., i, :] / piv
+            factors = aug[..., :, i:i + 1]
+            aug = aug - factors * row[..., None, :]
+            aug = aug.at[..., i, :].set(row)
+        return aug[..., :, -1]
+
+    x = gj(b)
+    for _ in range(refine):
+        resid = b - jnp.einsum("...ij,...j->...i", a, x)
+        x = x + gj(resid)
+    return x
