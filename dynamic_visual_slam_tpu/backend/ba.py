@@ -285,6 +285,7 @@ def extract_window(cfg, state, max_landmarks: int = 512):
         & lm.obs_valid[:, :, None] & kf_active[None, None, :]
     obs_per_lm = jnp.sum(in_win.astype(jnp.int32), axis=(1, 2))
     score = jnp.where(lm.active, obs_per_lm, -1)
+    max_landmarks = min(max_landmarks, score.shape[-1])
     _, lm_slots = jax.lax.top_k(score, max_landmarks)
     # single-observation landmarks give rank-2 V blocks (2 residual rows, 3
     # unknowns) — pure gauge noise; exclude them (their pose information is

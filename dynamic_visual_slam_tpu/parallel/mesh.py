@@ -1,0 +1,128 @@
+"""Multi-chip scaling via jax.sharding — the parallelism layer.
+
+The reference has no distributed story (SURVEY.md §2: two OS processes over
+DDS, a BA wall timer, Ceres num_threads=4); single-chip is the parity
+target.  This module is the scale-OUT axis the TPU rebuild adds:
+
+- data-parallel multi-stream SLAM: a fleet of independent camera streams,
+  one TrackerState/MapState per stream, batch dim sharded over the 'dp'
+  mesh axis — production serving of many robots from one pod slice;
+- sharded detector inference: YOLO batches split over 'dp';
+- all built with NamedSharding + jit: XLA inserts the (trivially absent)
+  collectives; per-stream state stays resident on its device, so scaling is
+  embarrassingly parallel over ICI with zero cross-chip traffic on the hot
+  path (keyframe/BA work included — it shards with the stream).
+
+The batched step functions are also what `__graft_entry__.dryrun_multichip`
+compiles on a virtual device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dynamic_visual_slam_tpu.backend import ba as ba_mod
+from dynamic_visual_slam_tpu.backend import mapping
+from dynamic_visual_slam_tpu.config import SLAMConfig
+from dynamic_visual_slam_tpu.core.camera import Intrinsics
+from dynamic_visual_slam_tpu.frontend import tracker
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), axis_names=(axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(tree: Any, mesh: Mesh, axis: str = "dp") -> Any:
+    """Place every leaf with its leading (batch) dim split over `axis`."""
+    def place(x):
+        spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(place, tree)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+# ---------------------------------------------------------------------------
+# Multi-stream SLAM fleet
+# ---------------------------------------------------------------------------
+
+class SLAMFleet:
+    """B independent SLAM streams, data-parallel over the mesh.
+
+    All per-stream state (tracker + map) lives sharded on device; step() and
+    keyframe/BA processing are one jitted SPMD program each.
+    """
+
+    def __init__(self, cfg: SLAMConfig, batch: int, mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.batch = batch
+        self.mesh = mesh or make_mesh()
+        k = Intrinsics.from_config(cfg.camera)
+        filt = jnp.zeros(max(cfg.map.max_categories, 81), bool)
+
+        def one_step(tstate, mstate, gray, depth, ts):
+            tstate, out = tracker.track_step(cfg, tstate, gray, depth, ts)
+            det = mapping.Detections.empty(cfg.semantic.max_detections)
+            mstate2, _ = mapping.insert_keyframe(cfg, mstate, out.keyframe,
+                                                 det, filt)
+            mstate = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(out.is_keyframe, b, a), mstate, mstate2)
+            return tstate, mstate, out
+
+        def one_ba(mstate):
+            new_state, res = ba_mod.run_ba(cfg, k, mstate)
+            return new_state, res.final_cost
+
+        self._step = jax.jit(jax.vmap(one_step), donate_argnums=(0, 1))
+        self._ba = jax.jit(jax.vmap(one_ba), donate_argnums=(0,))
+
+        self.tracker_states = shard_batch(jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
+            tracker.init_state(cfg)), self.mesh)
+        self.map_states = shard_batch(jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
+            mapping.init_map(cfg)), self.mesh)
+
+    def step(self, grays: jnp.ndarray, depths: jnp.ndarray,
+             stamps: jnp.ndarray):
+        """(B,H,W) gray + depth + (B,) stamps → per-stream TrackOutput."""
+        grays, depths, stamps = (shard_batch(x, self.mesh)
+                                 for x in (grays, depths, stamps))
+        self.tracker_states, self.map_states, out = self._step(
+            self.tracker_states, self.map_states, grays, depths, stamps)
+        return out
+
+    def run_ba(self):
+        self.map_states, costs = self._ba(self.map_states)
+        return costs
+
+
+# ---------------------------------------------------------------------------
+# Sharded detector inference
+# ---------------------------------------------------------------------------
+
+def sharded_detector_apply(params: Any, mesh: Mesh, input_size: int = 640):
+    """Returns jitted fn: (B, S, S, 3) images (B sharded over dp) →
+    batched RawDetections — the multi-chip YOLO serving path."""
+    from dynamic_visual_slam_tpu.models import yolov8
+    p_repl = replicate(params, mesh)
+
+    @jax.jit
+    def apply(imgs):
+        return jax.vmap(lambda im: yolov8.detect(p_repl, im, input_size, 32)
+                        )(imgs)
+    return apply

@@ -1,0 +1,73 @@
+"""Pipeline-facing detector: YOLOv8 inference → mapping.Detections.
+
+Replaces the reference's /yolo/tracking subscription (backend.cpp:71-72,
+183-190): letterbox the RGB frame to the network size, run the jitted
+detector, undo the letterbox on the boxes, shift class ids by +1 (id 0 is
+the 'unlabeled' category, semantic/classes.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_visual_slam_tpu.backend.mapping import Detections
+from dynamic_visual_slam_tpu.config import SLAMConfig
+from dynamic_visual_slam_tpu.models import yolov8
+
+
+class YoloDetector:
+    def __init__(self, cfg: SLAMConfig,
+                 weights_path: Optional[str] = None,
+                 params: Optional[Dict[str, Any]] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.size = cfg.semantic.input_size
+        if params is not None:
+            self.params = params
+        elif weights_path and os.path.exists(weights_path):
+            from dynamic_visual_slam_tpu.models.convert_ultralytics import (
+                convert, load_params)
+            if weights_path.endswith(".pt"):
+                self.params = convert(weights_path)
+            else:
+                self.params = load_params(weights_path)
+        else:
+            # no pretrained weights in the image (zero egress): random init —
+            # exercises the full compute path; detections are meaningless
+            self.params = yolov8.init_params(jax.random.key(seed))
+        s = self.size
+        d = cfg.semantic.max_detections
+        self._detect = jax.jit(lambda p, img: yolov8.detect(
+            p, img, s, d, cfg.semantic.score_threshold,
+            cfg.semantic.iou_threshold))
+
+    def letterbox(self, rgb: np.ndarray):
+        """(H,W,3) uint8/float → ((S,S,3) float32 [0,1], scale, (pad_x, pad_y))."""
+        h, w = rgb.shape[:2]
+        s = self.size
+        scale = min(s / h, s / w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        img = jax.image.resize(jnp.asarray(rgb, jnp.float32) / 255.0,
+                               (nh, nw, 3), "bilinear")
+        px, py = (s - nw) // 2, (s - nh) // 2
+        canvas = jnp.full((s, s, 3), 0.447, jnp.float32)
+        canvas = jax.lax.dynamic_update_slice(canvas, img, (py, px, 0))
+        return canvas, scale, (px, py)
+
+    def __call__(self, rgb: np.ndarray) -> Detections:
+        canvas, scale, (px, py) = self.letterbox(rgb)
+        raw = self._detect(self.params, canvas)
+        boxes = (raw.boxes - jnp.asarray([px, py, px, py], jnp.float32)) / scale
+        h, w = rgb.shape[:2]
+        boxes = jnp.clip(boxes, 0.0, jnp.asarray([w - 1, h - 1, w - 1, h - 1],
+                                                 jnp.float32))
+        return Detections(
+            boxes=boxes,
+            category=(raw.classes + 1).astype(jnp.int32),  # 0 = unlabeled
+            score=raw.scores,
+            mask=raw.valid)

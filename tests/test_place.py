@@ -1,0 +1,90 @@
+"""BoW place recognition — mirrors the reference's DBoW2 integration test
+surface (test_dbow2_integration.cpp): vocabulary training, descriptor
+transform, database add/query with self-match, plus recognition quality on
+synthetic 'places'."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamic_visual_slam_tpu.place import bow
+
+
+def rand_descs(rng, n):
+    return (rng.random((n, 256)) < 0.5).astype(np.uint8)
+
+
+def perturb(descs, rng, flip=0.05):
+    noise = (rng.random(descs.shape) < flip).astype(np.uint8)
+    return descs ^ noise
+
+
+@pytest.fixture(scope="module")
+def world():
+    """5 'places', each a set of 60 descriptors; vocabulary trained on all."""
+    rng = np.random.default_rng(0)
+    places = [rand_descs(rng, 60) for _ in range(5)]
+    voc = bow.train_vocabulary(np.concatenate(places), k=5, depth=3, seed=1)
+    return places, voc, rng
+
+
+class TestVocabulary:
+    def test_tiny_create(self):
+        """create(features, k=2, L=1) smoke — reference test case
+        (test_dbow2_integration.cpp:137-163)."""
+        rng = np.random.default_rng(2)
+        voc = bow.train_vocabulary(rand_descs(rng, 40), k=2, depth=1)
+        assert voc.n_words == 2
+        assert voc.levels[0].shape == (2, 256)
+
+    def test_transform_normalized(self, world):
+        places, voc, rng = world
+        v = voc.transform(jnp.asarray(places[0]), jnp.ones(60, bool))
+        assert abs(float(jnp.sum(v)) - 1.0) < 1e-5
+        assert float(jnp.min(v)) >= 0
+
+    def test_same_descriptor_same_word(self, world):
+        places, voc, _ = world
+        d = jnp.asarray(places[0][:8])
+        w1 = bow.descend(voc, d)
+        w2 = bow.descend(voc, d)
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        assert (np.asarray(w1) < voc.n_words).all()
+
+
+class TestDatabase:
+    def test_self_query_top1(self, world):
+        """database.add then query itself → own entry, top score
+        (test_dbow2_integration.cpp:103-125)."""
+        places, voc, _ = world
+        db = bow.Database(voc, capacity=16)
+        ids = [db.add(jnp.asarray(p)) for p in places]
+        res = db.query(jnp.asarray(places[2]))
+        assert int(res.entry_ids[0]) == ids[2]
+        assert float(res.scores[0]) > 0.99     # exact self-match, L1 score ≈ 1
+
+    def test_noisy_revisit_recognized(self, world):
+        places, voc, rng = world
+        db = bow.Database(voc, capacity=16)
+        for p in places:
+            db.add(jnp.asarray(p))
+        noisy = perturb(places[3], rng, flip=0.04)
+        res = db.query(jnp.asarray(noisy))
+        assert int(res.entry_ids[0]) == 3
+        # and clearly above the best wrong place
+        assert float(res.scores[0]) > float(res.scores[1]) + 0.05
+
+    def test_query_empty_database(self, world):
+        _, voc, _ = world
+        db = bow.Database(voc, capacity=8)
+        rng = np.random.default_rng(5)
+        res = db.query(jnp.asarray(rand_descs(rng, 10)))
+        assert not bool(res.valid.any())
+
+    def test_l1_score_bounds(self, world):
+        places, voc, _ = world
+        v1 = voc.transform(jnp.asarray(places[0]), jnp.ones(60, bool))
+        v2 = voc.transform(jnp.asarray(places[1]), jnp.ones(60, bool))
+        s = float(bow.l1_score(v1, v2))
+        assert 0.0 <= s <= 1.0
+        assert float(bow.l1_score(v1, v1)) > 0.999
