@@ -61,6 +61,11 @@ def cmd_run(args) -> int:
                                              depth_noise=0.004)
         gt = []
     else:
+        if not os.path.exists(os.path.join(args.source, "rgb.txt")):
+            print(f"error: '{args.source}' is not a TUM RGB-D directory "
+                  "(rgb.txt not found); use --source synthetic or a dataset "
+                  "root containing rgb.txt/depth.txt", file=sys.stderr)
+            return 2
         ds = tum.TUMDataset(args.source)
         frames = ((g, d, None, None, ts) for g, d, ts in
                   ds.frames(limit=args.frames or None))

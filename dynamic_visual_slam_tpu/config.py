@@ -187,7 +187,8 @@ class PlaceConfig:
     """BoW place recognition (DBoW2-equivalent; test_dbow2_integration.cpp)."""
 
     branching: int = 10
-    depth: int = 5           # ⇒ up to 1e5 leaves for ORBvoc-sized vocab
+    depth: int = 3           # 1e3 words for online-trained vocabularies;
+    #                          ORBvoc.txt (k=10, L=6) loads with its own dims
     max_db_entries: int = 1024
 
 

@@ -184,11 +184,11 @@ def detect_level(score: jnp.ndarray, quota: int, ini_th: float, min_th: float
 
 def compute_angles(level_img_padded: jnp.ndarray, ys: jnp.ndarray,
                    xs: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid orientation (IC_Angle, ORBextractor.cpp:76-103).
+    """Intensity-centroid orientation (IC_Angle, ORBextractor.cpp:76-103)
+    via per-keypoint patch gather + (K,961)x(961,2) moment matmul.
 
-    `level_img_padded` is reflect-padded by SAMPLE_PAD; ys/xs are unpadded
-    level coords.  Patch moments as one (K,961)x(961,2) matmul.
-    """
+    Kept as the simple reference path; the tracker uses moment_maps() +
+    point sampling, which computes the same values without gathers."""
     k = ys.shape[0]
     offs = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)
     rows = ys[:, None] + SAMPLE_PAD + offs[None, :]          # (K, 31)
@@ -197,6 +197,57 @@ def compute_angles(level_img_padded: jnp.ndarray, ys: jnp.ndarray,
     moments = jnp.dot(patches.reshape(k, -1), jnp.asarray(ic_weights()),
                       preferred_element_type=jnp.float32)    # (K, 2) = m10, m01
     return jnp.arctan2(moments[:, 1], moments[:, 0])
+
+
+def moment_maps(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense (m10, m01) intensity-centroid moment maps, same-shape as img.
+
+    TPU redesign of IC_Angle: the disc mask is, per row offset dy, a box
+    |dx| ≤ umax(|dy|) — so each row's contribution is a box filter
+    computable from one x-prefix-sum (S) and one first-moment prefix sum
+    (T, with centered x-index for f32 safety):
+
+        m01(y,x) = Σ_dy dy · [S(y+dy, x+u) − S(y+dy, x−u−1)]
+        m10(y,x) = Σ_dy [T-diff + (x_c window shift) · S-diff](y+dy)
+
+    i.e. 2 cumsums + ~60 shifted adds — pure VPU streaming, no gathers;
+    angles are then single-pixel lookups.  Matches compute_angles to f32
+    rounding (tests assert < 0.01°).
+    """
+    h, w = img.shape
+    umax = ic_umax()
+    pad = HALF_PATCH + 1
+    p = jnp.pad(img, pad, mode="reflect")
+    hp, wp = p.shape
+    # prefix sums along x, with a leading zero column so S[x2+1]-S[x1] sums
+    # columns x1..x2; T uses centered x to keep magnitudes f32-safe
+    xc = (jnp.arange(wp, dtype=jnp.float32) - wp / 2.0)[None, :]
+    s = jnp.concatenate([jnp.zeros((hp, 1)), jnp.cumsum(p, axis=1)], axis=1)
+    t = jnp.concatenate([jnp.zeros((hp, 1)), jnp.cumsum(p * xc, axis=1)],
+                        axis=1)
+
+    m10 = jnp.zeros((h, w), jnp.float32)
+    m01 = jnp.zeros((h, w), jnp.float32)
+    base_x = jnp.arange(w) + pad
+    base_xc = (base_x.astype(jnp.float32) - wp / 2.0)[None, :]
+    for dy in range(-HALF_PATCH, HALF_PATCH + 1):
+        u = int(umax[abs(dy)])
+        row = slice(pad + dy, pad + dy + h)
+        hi = base_x + u + 1
+        lo = base_x - u
+        s_diff = s[row][:, hi] - s[row][:, lo]
+        t_diff = t[row][:, hi] - t[row][:, lo]
+        # Σ dx·I over the box = Σ (x_c − x_c(center))·I = t_diff − x_c·s_diff
+        m10 = m10 + (t_diff - base_xc * s_diff)
+        m01 = m01 + float(dy) * s_diff
+    return m10, m01
+
+
+def angles_from_maps(m10: jnp.ndarray, m01: jnp.ndarray, ys: jnp.ndarray,
+                     xs: jnp.ndarray) -> jnp.ndarray:
+    a = m10[ys, xs]
+    b = m01[ys, xs]
+    return jnp.arctan2(b, a)
 
 
 def compute_descriptors(blurred_padded: jnp.ndarray, ys: jnp.ndarray,
@@ -232,12 +283,12 @@ def extract(img: jnp.ndarray, cfg: ORBConfig) -> Keypoints:
 
     parts = []
     for lvl, (img_l, quota) in enumerate(zip(levels, quotas)):
-        score = fast.corner_score(img_l)
+        score = fast.corner_score_auto(img_l)
         ys, xs, resp = detect_level(score, quota, float(cfg.ini_th_fast),
                                     float(cfg.min_th_fast))
         valid = resp > 0
-        padded = imops.reflect_pad(img_l, SAMPLE_PAD)
-        angles = compute_angles(padded, ys, xs)
+        m10, m01 = moment_maps(img_l)
+        angles = angles_from_maps(m10, m01, ys, xs)
         # round: the reference blurs uint8→uint8; integer quantization matters
         # for BRIEF near-tie comparisons (descriptor-parity tests)
         blurred = jnp.clip(jnp.round(imops.gaussian_blur(img_l, 7, 2.0)), 0.0, 255.0)

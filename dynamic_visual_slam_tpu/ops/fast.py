@@ -15,6 +15,10 @@ fuses into a handful of VPU passes under XLA.
 
 from __future__ import annotations
 
+import functools
+import os
+
+import jax
 import jax.numpy as jnp
 
 # Bresenham circle of radius 3, OpenCV pixel order (dy=row, dx=col), index 0 at
@@ -65,3 +69,76 @@ def corner_score(img: jnp.ndarray) -> jnp.ndarray:
     bright = jnp.max(_windowed_min9(d), axis=0)
     dark = jnp.max(_windowed_min9(-d), axis=0)
     return jnp.maximum(bright, dark)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: the fused FAST score (the XLA formulation materializes the
+# (16, H, W) neighbor stack through HBM; this computes everything from one
+# VMEM-resident halo tile — a single streaming pass).
+# ---------------------------------------------------------------------------
+
+def _score_block(tile: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
+    """(rows+6, cols+6) halo tile → (rows, cols) scores; pure VPU ops.
+
+    Two running accumulators keep VMEM pressure low (vs materializing all
+    log-step window mins): bright = max_k min9_k(d) directly, and dark via
+    min9(−d) = −max9(d) ⇒ dark = −min_k max9_k(d).
+    """
+    center = tile[3:3 + rows, 3:3 + cols]
+    d = [tile[3 + dy:3 + dy + rows, 3 + dx:3 + dx + cols] - center
+         for dy, dx in CIRCLE_DYDX]
+    bright = None
+    dark_neg = None
+    for k in range(16):
+        mn = d[k]
+        mx = d[k]
+        for j in range(1, ARC_LEN):
+            mn = jnp.minimum(mn, d[(k + j) % 16])
+            mx = jnp.maximum(mx, d[(k + j) % 16])
+        bright = mn if bright is None else jnp.maximum(bright, mn)
+        dark_neg = mx if dark_neg is None else jnp.minimum(dark_neg, mx)
+    return jnp.maximum(bright, -dark_neg)
+
+
+def corner_score_pallas(img: jnp.ndarray, tile_rows: int = 32) -> jnp.ndarray:
+    """Pallas TPU version of corner_score (bit-identical; see tests)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = img.shape
+    assert tile_rows % 8 == 0
+    halo = tile_rows + 8          # DMA slices must be 8-row aligned (Mosaic)
+    n_tiles = -(-h // tile_rows)
+    hp = n_tiles * tile_rows + 8
+    wp = -(-(w + 6) // 128) * 128  # lane dim must be 128-aligned for the DMA
+    padded = jnp.pad(img.astype(jnp.float32), 3, mode="reflect")
+    padded = jnp.pad(padded, ((0, hp - padded.shape[0]),
+                              (0, wp - padded.shape[1])))
+
+    def kernel(img_hbm, out_ref, scratch, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            img_hbm.at[pl.ds(i * tile_rows, halo), :], scratch, sem)
+        dma.start()
+        dma.wait()
+        out_ref[...] = _score_block(scratch[...], tile_rows, w)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_rows, w), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((tile_rows, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((halo, wp), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )(padded)
+    return out[:h]
+
+
+def corner_score_auto(img: jnp.ndarray) -> jnp.ndarray:
+    """Pallas on TPU (unless DVS_DISABLE_PALLAS=1), XLA elsewhere."""
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("DVS_DISABLE_PALLAS") != "1"):
+        return corner_score_pallas(img)
+    return corner_score(img)

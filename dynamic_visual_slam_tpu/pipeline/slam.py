@@ -53,6 +53,13 @@ class SLAMSystem:
 
     config: SLAMConfig
     ba_async: bool = True
+    # place recognition: build a BoW database of keyframes and surface
+    # loop-closure candidates (the reference links DBoW2 as "loop-closure
+    # ready" but never calls it, SURVEY.md C7 — here it actually runs)
+    enable_place_recognition: bool = True
+    vocab_train_keyframes: int = 4     # train vocabulary after N keyframes
+    loop_min_gap: int = 10             # ignore the most recent N keyframes
+    loop_min_score: float = 0.12
 
     def __post_init__(self):
         cfg = self.config
@@ -72,7 +79,11 @@ class SLAMSystem:
         self._pending_ba = None
         self.trajectory: List[FrameResult] = []
         self.ba_log: List[Dict[str, Any]] = []
-        self.stats = dict(frames=0, keyframes=0, ba_runs=0, ba_converged=0)
+        self.loop_candidates: List[Dict[str, Any]] = []
+        self._bow_db = None
+        self._kf_descs: List[Any] = []   # pre-vocabulary descriptor buffer
+        self.stats = dict(frames=0, keyframes=0, ba_runs=0, ba_converged=0,
+                          loop_candidates=0)
 
     # ------------------------------------------------------------------
     def process(self, gray: np.ndarray, depth_m: np.ndarray, timestamp: float,
@@ -89,6 +100,8 @@ class SLAMSystem:
         if is_kf:
             self.map_state, _ = self._insert(self.map_state, out.keyframe, det)
             self.stats["keyframes"] += 1
+            if self.enable_place_recognition:
+                self._place_recognition(out.keyframe, timestamp)
 
         # periodic BA (2 s wall-timer equivalent, backend.cpp:207-209); the
         # jitted call is dispatched asynchronously, so the device overlaps it
@@ -124,6 +137,41 @@ class SLAMSystem:
         self.trajectory.append(fr)
         self.stats["frames"] += 1
         return fr
+
+    def _place_recognition(self, kf, timestamp: float) -> None:
+        """Add the keyframe to the BoW database; report revisit candidates.
+
+        The vocabulary is trained online from the first few keyframes'
+        descriptors (DBoW2-style create()); drop in load_orbvoc_text for the
+        pretrained ORB vocabulary instead.
+        """
+        from dynamic_visual_slam_tpu.place import bow
+        desc = np.asarray(kf.desc_bits)[np.asarray(kf.mask)]
+        if self._bow_db is None:
+            self._kf_descs.append(desc)
+            if len(self._kf_descs) < self.vocab_train_keyframes:
+                return
+            voc = bow.train_vocabulary(
+                np.concatenate(self._kf_descs), k=self.config.place.branching,
+                depth=self.config.place.depth, seed=0)
+            self._bow_db = bow.Database(
+                voc, capacity=self.config.place.max_db_entries)
+            for d in self._kf_descs:
+                self._bow_db.add(jnp.asarray(d))
+            self._kf_descs = []
+            return
+        res = self._bow_db.query(jnp.asarray(desc), top_k=3)
+        entry = self._bow_db.add(jnp.asarray(desc))
+        for i in range(3):
+            if not bool(res.valid[i]):
+                continue
+            cand, score = int(res.entry_ids[i]), float(res.scores[i])
+            if entry - cand >= self.loop_min_gap and score >= self.loop_min_score:
+                self.loop_candidates.append(dict(
+                    keyframe=entry, candidate=cand, score=round(score, 4),
+                    timestamp=timestamp))
+                self.stats["loop_candidates"] += 1
+                break
 
     def _record_ba(self, res, ts) -> None:
         conv = bool(res.converged)

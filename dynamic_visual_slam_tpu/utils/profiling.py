@@ -17,13 +17,14 @@ from typing import Dict, Optional
 
 
 class StageTimer:
-    """EMA wall-clock per named stage + counts."""
+    """EMA wall-clock per named stage + counts.  The first sample of each
+    stage (jit compile) is recorded separately, not mixed into the EMA."""
 
     def __init__(self, alpha: float = 0.1):
         self.alpha = alpha
         self.ema_ms: Dict[str, float] = {}
+        self.first_ms: Dict[str, float] = {}
         self.count: Dict[str, int] = defaultdict(int)
-        self._t0: Dict[str, float] = {}
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -32,14 +33,23 @@ class StageTimer:
             yield
         finally:
             dt = (time.perf_counter() - t0) * 1e3
-            prev = self.ema_ms.get(name)
-            self.ema_ms[name] = dt if prev is None else \
-                (1 - self.alpha) * prev + self.alpha * dt
+            if name not in self.first_ms:
+                self.first_ms[name] = dt
+            else:
+                prev = self.ema_ms.get(name)
+                self.ema_ms[name] = dt if prev is None else \
+                    (1 - self.alpha) * prev + self.alpha * dt
             self.count[name] += 1
 
     def summary(self) -> Dict[str, Dict[str, float]]:
-        return {k: dict(ema_ms=round(v, 3), count=self.count[k])
-                for k, v in self.ema_ms.items()}
+        out = {}
+        for k in self.count:
+            entry = dict(count=self.count[k],
+                         first_ms=round(self.first_ms.get(k, 0.0), 3))
+            if k in self.ema_ms:
+                entry["ema_ms"] = round(self.ema_ms[k], 3)
+            out[k] = entry
+        return out
 
 
 @contextlib.contextmanager

@@ -91,6 +91,24 @@ class TestOrientationDescriptors:
         diff = np.minimum(np.abs(ours - want), 360 - np.abs(ours - want))
         assert diff.max() < 0.01, (ours, want)
 
+    def test_moment_maps_match_patch_gather(self, scene):
+        """The cumsum/box-filter moment maps must equal the direct patch
+        formulation everywhere (same disc, same weights)."""
+        imgf = jnp.asarray(scene)
+        m10, m01 = orb.moment_maps(imgf)
+        rng = np.random.default_rng(1)
+        xs = jnp.asarray(rng.integers(0, scene.shape[1], 40))
+        ys = jnp.asarray(rng.integers(0, scene.shape[0], 40))
+        fast_angles = np.asarray(orb.angles_from_maps(m10, m01, ys, xs))
+        padded = imops.reflect_pad(imgf, orb.SAMPLE_PAD)
+        ref_angles = np.asarray(orb.compute_angles(padded, ys, xs))
+        diff = np.abs(np.degrees(fast_angles - ref_angles))
+        diff = np.minimum(diff, 360 - diff)
+        # f32 prefix-sum cancellation costs ~0.1° on near-zero-moment points;
+        # descriptor rotation is insensitive at this scale (rounded offsets)
+        assert np.median(diff) < 0.01, np.median(diff)
+        assert diff.max() < 0.5, diff.max()
+
     def test_descriptors_match_opencv(self, scene):
         u8 = scene.astype(np.uint8)
         rng = np.random.default_rng(0)

@@ -1,0 +1,54 @@
+"""Checkpoint/resume: snapshot the full system state mid-sequence, reload,
+and continue with identical results."""
+
+import numpy as np
+import pytest
+
+from dynamic_visual_slam_tpu.config import CameraConfig, SLAMConfig
+from dynamic_visual_slam_tpu.io import synthetic
+from dynamic_visual_slam_tpu.pipeline import snapshot
+from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
+
+CAM = CameraConfig(width=160, height=120, fx=130.0, fy=130.0,
+                   cx=79.5, cy=59.5)
+CFG = SLAMConfig().replace(camera=CAM)
+
+
+def test_save_load_resume(tmp_path):
+    frames = list(synthetic.generate_sequence(CAM, 14, seed=7))
+    a = SLAMSystem(CFG, ba_async=False, enable_place_recognition=False)
+    for gray, depth, _, _, ts in frames[:7]:
+        a.process(gray, depth, ts)
+    path = str(tmp_path / "ckpt.npz")
+    snapshot.save(path, a.tracker_state, a.map_state, CFG)
+
+    ts_state, ms_state, cfg2 = snapshot.load(path)
+    assert cfg2 == CFG
+    b = SLAMSystem(CFG, ba_async=False, enable_place_recognition=False)
+    b.tracker_state = ts_state
+    b.map_state = ms_state
+    # continue both from the same point: identical downstream results
+    for gray, depth, _, _, ts in frames[7:]:
+        fa = a.process(gray, depth, ts)
+        fb = b.process(gray, depth, ts)
+        np.testing.assert_allclose(fa.t_wc, fb.t_wc, atol=1e-6)
+        assert fa.is_keyframe == fb.is_keyframe
+    la, lb = a.landmarks_world(), b.landmarks_world()
+    assert len(la["xyz"]) == len(lb["xyz"])
+    np.testing.assert_allclose(la["xyz"], lb["xyz"], atol=1e-6)
+
+
+def test_loop_candidates_surface():
+    """Place recognition fires when the camera revisits a pose."""
+    frames = list(synthetic.generate_sequence(CAM, 6, seed=9))
+    slam = SLAMSystem(CFG, ba_async=False, enable_place_recognition=True,
+                      vocab_train_keyframes=2, loop_min_gap=2,
+                      loop_min_score=0.05)
+    # force frequent keyframes by revisiting the exact same frames repeatedly
+    for loop in range(4):
+        for gray, depth, _, _, ts in frames:
+            slam.process(gray, depth, ts + loop * 0.2)
+    assert slam._bow_db is not None
+    # identical revisited frames must produce at least one strong candidate
+    if slam.stats["keyframes"] >= slam.loop_min_gap + 2:
+        assert slam.stats["loop_candidates"] >= 1
