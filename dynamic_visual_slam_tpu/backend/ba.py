@@ -24,7 +24,7 @@ grid at window scale (W ≤ 8, L ≤ 512 ⇒ S is at most 48×48).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Host-side numpy on purpose: this is the data source, not the compute path.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator, List, Tuple
 
 import numpy as np

@@ -9,7 +9,9 @@ within 1% of the Ceres reference".
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+
+
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,6 @@ Runtime loads the .npz; torch is only needed for the one-time conversion.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict
 
 import numpy as np

@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import ctypes
 import json
-import os
-import threading
 from typing import List, Optional, Tuple
 
 

@@ -15,7 +15,6 @@ fuses into a handful of VPU passes under XLA.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

@@ -14,8 +14,8 @@ level has its own static shape).
 from __future__ import annotations
 
 import functools
-import math
-from typing import List, Sequence, Tuple
+
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ YOLO publisher, SURVEY.md §3.3): frames without detections map everything as
 
 from __future__ import annotations
 
-import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -32,7 +31,7 @@ from dynamic_visual_slam_tpu.config import SLAMConfig
 from dynamic_visual_slam_tpu.core import lie
 from dynamic_visual_slam_tpu.core.camera import Intrinsics
 from dynamic_visual_slam_tpu.frontend import tracker
-from dynamic_visual_slam_tpu.semantic.classes import category_id, filtered_mask
+from dynamic_visual_slam_tpu.semantic.classes import filtered_mask
 
 
 @dataclass

@@ -23,8 +23,7 @@ supported for drop-in use of the pretrained ORB-SLAM vocabulary.
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax

@@ -11,7 +11,7 @@ export with the same color policy, plus a trajectory PLY polyline.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
