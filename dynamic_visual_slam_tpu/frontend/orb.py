@@ -219,27 +219,34 @@ def moment_maps(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     pad = HALF_PATCH + 1
     p = jnp.pad(img, pad, mode="reflect")
     hp, wp = p.shape
-    # prefix sums along x, with a leading zero column so S[x2+1]-S[x1] sums
-    # columns x1..x2; T uses centered x to keep magnitudes f32-safe
-    xc = (jnp.arange(wp, dtype=jnp.float32) - wp / 2.0)[None, :]
+    # m01 via horizontal box sums: prefix values are integers ≤ 255·W,
+    # exactly representable in f32 for any sane W
     s = jnp.concatenate([jnp.zeros((hp, 1)), jnp.cumsum(p, axis=1)], axis=1)
-    t = jnp.concatenate([jnp.zeros((hp, 1)), jnp.cumsum(p * xc, axis=1)],
-                        axis=1)
-
-    m10 = jnp.zeros((h, w), jnp.float32)
     m01 = jnp.zeros((h, w), jnp.float32)
     base_x = jnp.arange(w) + pad
-    base_xc = (base_x.astype(jnp.float32) - wp / 2.0)[None, :]
     for dy in range(-HALF_PATCH, HALF_PATCH + 1):
+        if dy == 0:
+            continue
         u = int(umax[abs(dy)])
         row = slice(pad + dy, pad + dy + h)
-        hi = base_x + u + 1
-        lo = base_x - u
-        s_diff = s[row][:, hi] - s[row][:, lo]
-        t_diff = t[row][:, hi] - t[row][:, lo]
-        # Σ dx·I over the box = Σ (x_c − x_c(center))·I = t_diff − x_c·s_diff
-        m10 = m10 + (t_diff - base_xc * s_diff)
+        s_diff = s[row][:, base_x + u + 1] - s[row][:, base_x - u]
         m01 = m01 + float(dy) * s_diff
+
+    # m10 via the TRANSPOSED decomposition (vertical box sums per column
+    # offset): a horizontal first-moment prefix exceeds f32's exact-integer
+    # range on wide images (measured ±29 at W=1280); vertical sums stay exact
+    from dynamic_visual_slam_tpu.ops.fields import _vmax_table
+    vmax = _vmax_table(umax)
+    sv = jnp.concatenate([jnp.zeros((1, wp)), jnp.cumsum(p, axis=0)], axis=0)
+    m10 = jnp.zeros((h, w), jnp.float32)
+    base_y = jnp.arange(h) + pad
+    for dx in range(1, HALF_PATCH + 1):
+        v = int(vmax[dx])
+        col_p = slice(pad + dx, pad + dx + w)
+        col_n = slice(pad - dx, pad - dx + w)
+        v_pos = sv[base_y + v + 1][:, col_p] - sv[base_y - v][:, col_p]
+        v_neg = sv[base_y + v + 1][:, col_n] - sv[base_y - v][:, col_n]
+        m10 = m10 + float(dx) * (v_pos - v_neg)
     return m10, m01
 
 
@@ -275,30 +282,52 @@ def compute_descriptors(blurred_padded: jnp.ndarray, ys: jnp.ndarray,
 # Full extractor
 # --------------------------------------------------------------------------
 
+ATLAS_GAP = 24  # zero rows between stacked levels (> rBRIEF reach)
+
+
 def extract(img: jnp.ndarray, cfg: ORBConfig) -> Keypoints:
     """(H, W) float32 grayscale [0,255] → Keypoints with capacity
-    cfg.max_keypoints.  Jit-compatible; shapes depend only on (H, W, cfg)."""
+    cfg.max_keypoints.  Jit-compatible; shapes depend only on (H, W, cfg).
+
+    Detection/orientation run per level via the fused field kernel; the
+    descriptor stage is ONE batched call over a vertical atlas of all
+    blurred levels (per-keypoint Pallas DMA kernel on TPU, gather on CPU).
+    """
     levels = imops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
     quotas = features_per_level(cfg)
 
+    from dynamic_visual_slam_tpu.ops import descriptors as desc_k
+    from dynamic_visual_slam_tpu.ops.fields import frontend_fields
+
     parts = []
+    blurred_padded = []
+    row_offsets = []
+    row = 0
+    max_w = levels[0].shape[1] + 2 * SAMPLE_PAD
     for lvl, (img_l, quota) in enumerate(zip(levels, quotas)):
-        score = fast.corner_score_auto(img_l)
+        score, m10, m01 = frontend_fields(img_l)
         ys, xs, resp = detect_level(score, quota, float(cfg.ini_th_fast),
                                     float(cfg.min_th_fast))
         valid = resp > 0
-        m10, m01 = moment_maps(img_l)
         angles = angles_from_maps(m10, m01, ys, xs)
         # round: the reference blurs uint8→uint8; integer quantization matters
         # for BRIEF near-tie comparisons (descriptor-parity tests)
-        blurred = jnp.clip(jnp.round(imops.gaussian_blur(img_l, 7, 2.0)), 0.0, 255.0)
-        blurred_padded = imops.reflect_pad(blurred, SAMPLE_PAD)
-        bits = compute_descriptors(blurred_padded, ys, xs, angles)
+        blurred = jnp.clip(jnp.round(imops.gaussian_blur(img_l, 7, 2.0)),
+                           0.0, 255.0)
+        blurred_padded.append(imops.reflect_pad(blurred, SAMPLE_PAD))
+        row_offsets.append(row)
+        row += blurred_padded[-1].shape[0] + ATLAS_GAP
         scale = cfg.scale_factor ** lvl   # coords → level 0 (ORBextractor.cpp:1148)
         uv = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale
         parts.append(dict(
-            uv=uv, response=resp, angle=angles,
-            octave=jnp.full_like(ys, lvl), desc_bits=bits, mask=valid))
+            uv=uv, response=resp, angle=angles, ys=ys, xs=xs,
+            row_off=jnp.full_like(ys, row_offsets[-1]),
+            octave=jnp.full_like(ys, lvl), mask=valid))
+
+    # vertical atlas of all blurred+padded levels (zero gaps isolate levels)
+    atlas = jnp.zeros((row, max_w), jnp.float32)
+    for off, bp in zip(row_offsets, blurred_padded):
+        atlas = jax.lax.dynamic_update_slice(atlas, bp, (off, 0))
 
     cat = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
     k_cap = cfg.max_keypoints
@@ -312,9 +341,21 @@ def extract(img: jnp.ndarray, cfg: ORBConfig) -> Keypoints:
         _, keep_idx = jax.lax.top_k(jnp.where(cat["mask"], cat["response"], -1.0),
                                     k_cap)
         cat = {k: v[keep_idx] for k, v in cat.items()}
+
+    # one batched descriptor pass over the atlas (coords: atlas rows are the
+    # level's padded frame, so the per-level reflect pad is already included
+    # in row_off; compute_descriptors/pallas both expect unpadded coords)
+    atlas_ys = cat["ys"] + cat["row_off"]
+    if desc_k.use_pallas():
+        bits = desc_k.descriptors_pallas(atlas, atlas_ys, cat["xs"],
+                                         cat["angle"], brief_pattern(),
+                                         SAMPLE_PAD)
+    else:
+        bits = compute_descriptors(atlas, atlas_ys, cat["xs"], cat["angle"])
+
     mask = cat.pop("mask")
     return Keypoints(uv=cat["uv"], response=cat["response"], angle=cat["angle"],
                      octave=cat["octave"].astype(jnp.int32),
-                     desc_bits=cat["desc_bits"],
-                     desc_packed=hamming.pack_bits(cat["desc_bits"]),
+                     desc_bits=bits,
+                     desc_packed=hamming.pack_bits(bits),
                      mask=mask)
