@@ -59,6 +59,12 @@ class SLAMSystem:
     vocab_train_keyframes: int = 4     # train vocabulary after N keyframes
     loop_min_gap: int = 10             # ignore the most recent N keyframes
     loop_min_score: float = 0.12
+    # geometric verification of BoW candidates: descriptor matching +
+    # fundamental-matrix RANSAC between the two keyframes (the step DBoW2
+    # deployments run before trusting a candidate; small online-trained
+    # vocabularies especially need it)
+    loop_geometric_check: bool = True
+    loop_min_inliers: int = 30
 
     def __post_init__(self):
         cfg = self.config
@@ -81,6 +87,8 @@ class SLAMSystem:
         self.loop_candidates: List[Dict[str, Any]] = []
         self._bow_db = None
         self._kf_descs: List[Any] = []   # pre-vocabulary descriptor buffer
+        self._kf_store: Dict[int, Any] = {}  # DB slot → (desc_bits, uv) arrays
+        self._verify_loop_fn = None
         self.stats = dict(frames=0, keyframes=0, ba_runs=0, ba_converged=0,
                           loop_candidates=0)
 
@@ -145,32 +153,79 @@ class SLAMSystem:
         pretrained ORB vocabulary instead.
         """
         from dynamic_visual_slam_tpu.place import bow
-        desc = np.asarray(kf.desc_bits)[np.asarray(kf.mask)]
+        m = np.asarray(kf.mask)
+        desc = np.asarray(kf.desc_bits)[m]
+        uv = np.asarray(kf.uv)[m]
         if self._bow_db is None:
-            self._kf_descs.append(desc)
+            self._kf_descs.append((desc, uv))
             if len(self._kf_descs) < self.vocab_train_keyframes:
                 return
             voc = bow.train_vocabulary(
-                np.concatenate(self._kf_descs), k=self.config.place.branching,
+                np.concatenate([d for d, _ in self._kf_descs]),
+                k=self.config.place.branching,
                 depth=self.config.place.depth, seed=0)
             self._bow_db = bow.Database(
                 voc, capacity=self.config.place.max_db_entries)
-            for d in self._kf_descs:
-                self._bow_db.add(jnp.asarray(d))
+            for d, u in self._kf_descs:
+                slot = self._bow_db.add(jnp.asarray(d))
+                self._kf_store[slot] = (d, u)
             self._kf_descs = []
             return
         res = self._bow_db.query(jnp.asarray(desc), top_k=3)
         entry = self._bow_db.add(jnp.asarray(desc))
+        self._kf_store[entry] = (desc, uv)
         for i in range(3):
             if not bool(res.valid[i]):
                 continue
             cand, score = int(res.entry_ids[i]), float(res.scores[i])
-            if entry - cand >= self.loop_min_gap and score >= self.loop_min_score:
-                self.loop_candidates.append(dict(
-                    keyframe=entry, candidate=cand, score=round(score, 4),
-                    timestamp=timestamp))
-                self.stats["loop_candidates"] += 1
-                break
+            if entry - cand < self.loop_min_gap or score < self.loop_min_score:
+                continue
+            rec = dict(keyframe=entry, candidate=cand, score=round(score, 4),
+                       timestamp=timestamp)
+            if self.loop_geometric_check:
+                n_inl = self._verify_loop(entry, cand)
+                rec["inliers"] = n_inl
+                if n_inl < self.loop_min_inliers:
+                    continue
+            self.loop_candidates.append(rec)
+            self.stats["loop_candidates"] += 1
+            break
+
+    def _verify_loop(self, entry: int, cand: int) -> int:
+        """Geometric consistency: mutual descriptor matches between the two
+        keyframes + fundamental RANSAC; returns the inlier count."""
+        from dynamic_visual_slam_tpu.frontend import ransac
+        from dynamic_visual_slam_tpu.ops import hamming
+        cap = self.config.map.max_obs_per_keyframe
+
+        if self._verify_loop_fn is None:
+            cfg = self.config
+
+            def fn(d1, uv1, m1, d2, uv2, m2, key):
+                res = hamming.match(d1, d2, m1, m2,
+                                    max_distance=float(cfg.match.max_hamming),
+                                    cross_check=True)
+                fm = ransac.fundamental_ransac(
+                    uv2[res.train_idx], uv1, res.valid & m1, key,
+                    n_hyp=cfg.ransac.fm_iterations,
+                    threshold=cfg.ransac.fm_threshold_px)
+                return jnp.sum((fm.inliers & fm.valid).astype(jnp.int32))
+
+            self._verify_loop_fn = jax.jit(fn)
+
+        def padded(arrs):
+            d, uv = arrs
+            n = min(len(d), cap)
+            dd = np.zeros((cap, 256), np.uint8)
+            uu = np.zeros((cap, 2), np.float32)
+            dd[:n] = d[:n]
+            uu[:n] = uv[:n]
+            return (jnp.asarray(dd), jnp.asarray(uu),
+                    jnp.arange(cap) < n)
+        d1, uv1, m1 = padded(self._kf_store[entry])
+        d2, uv2, m2 = padded(self._kf_store[cand])
+        key = jax.random.key(entry * 9973 + cand)
+        return int(self._verify_loop_fn(d1, uv1, m1, d2, uv2, m2, key))
 
     def _record_ba(self, res, ts) -> None:
         conv = bool(res.converged)

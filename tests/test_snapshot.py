@@ -52,3 +52,26 @@ def test_loop_candidates_surface():
     # identical revisited frames must produce at least one strong candidate
     if slam.stats["keyframes"] >= slam.loop_min_gap + 2:
         assert slam.stats["loop_candidates"] >= 1
+
+
+def test_loop_geometric_verification_rejects_false_positives():
+    """Cross-scene BoW hits (small online vocabularies produce them) must be
+    killed by the fundamental-RANSAC check; true revisits must survive."""
+    rooms = [list(synthetic.generate_sequence(CAM, 2, seed=s))
+             for s in range(6)]
+    slam = SLAMSystem(CFG, ba_async=False, vocab_train_keyframes=3,
+                      loop_min_gap=3, loop_min_score=0.05,
+                      loop_geometric_check=True, loop_min_inliers=30)
+    t = 0.0
+    for r in list(range(6)) + [0, 1]:      # tour, then revisit rooms 0/1
+        for g, d, _, _, _ in rooms[r]:
+            slam.process(g, d, t)
+            t += 1 / 30
+    assert slam.stats["keyframes"] >= 8
+    # every surviving candidate is geometrically verified...
+    for c in slam.loop_candidates:
+        assert c["inliers"] >= 30
+    # ...and they point at genuinely-revisited rooms (first 6 entries are the
+    # tour; revisit keyframes must match early candidates)
+    for c in slam.loop_candidates:
+        assert c["candidate"] < c["keyframe"] - 2
