@@ -97,7 +97,11 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
         & problem.kf_active[None, :]
     n_res = jnp.sum(obs_ok.astype(jnp.int32))
 
-    gauge_free = problem.kf_active.at[0].set(False)  # first pose fixed
+    # gauge: fix the first ACTIVE window pose (position 0 is inactive padding
+    # whenever fewer keyframes exist than the window size — fixing it would
+    # leave the whole problem gauge-free)
+    first_active = jnp.cumsum(problem.kf_active.astype(jnp.int32)) == 1
+    gauge_free = problem.kf_active & ~first_active
 
     def linearize(q_cw, t_cw, xyz):
         r, ok, xc = _residuals(k, q_cw, t_cw, xyz, problem.uv, obs_ok, sigma)
@@ -205,13 +209,16 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
         lam = jnp.where(accept, jnp.maximum(c.lam * shrink, 1e-12),
                         jnp.minimum(c.lam * 2.0, 1e10))
         # termination checks (bundle_adjustment.hpp:843-847)
-        # a vanishing cost change counts as convergence whether or not the
-        # step was an improvement (Ceres CONVERGENCE on function_tolerance)
+        # tolerances gate only on ACCEPTED steps (Ceres semantics — a single
+        # rejected near-neutral overshoot must not terminate the solve);
+        # a collapsed trust region (λ huge) ends iteration without claiming
+        # convergence
         ftol = jnp.abs(c.cost - cost_new) <= cfg.function_tolerance * \
             jnp.maximum(c.cost, 1e-30)
         gtol = grad_max <= cfg.gradient_tolerance
         ptol = jnp.sqrt(step_sq) <= cfg.parameter_tolerance
-        converged = ftol | (accept & (gtol | ptol))
+        converged = accept & (ftol | gtol | ptol)
+        collapsed = lam >= 1e7
         upd = accept & ~c.done
         new = Carry(
             q_cw=jnp.where(upd, q_new, c.q_cw),
@@ -219,7 +226,7 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
             xyz=jnp.where(upd, x_new, c.xyz),
             cost=jnp.where(upd, cost_new, c.cost),
             lam=jnp.where(c.done, c.lam, lam),
-            done=c.done | converged,
+            done=c.done | converged | collapsed,
             converged=c.converged | converged,
             iters=c.iters + jnp.where(c.done, 0, 1))
         return new, None
@@ -272,16 +279,15 @@ def extract_window(cfg, state, max_landmarks: int = 512):
     f_cap = kdb.q.shape[0]
     w = cfg.ba.window_size
 
-    # ring slots of the last w keyframes (monotone counter → slots)
-    seq = kdb.next_slot - 1 - jnp.arange(w)            # newest first
+    # monotone sequence ids of the last w keyframes, oldest-first so the
+    # gauge fixes the OLDEST pose (hpp:781-785); obs rings store the same
+    # monotone ids, so stale observations of recycled ring slots never match
+    seq = (kdb.next_slot - 1 - jnp.arange(w))[::-1]    # oldest first
     window_slots = (seq % f_cap).astype(jnp.int32)
     kf_active = seq >= 0
-    # oldest-first ordering so gauge fixes the OLDEST pose (hpp:781-785)
-    window_slots = window_slots[::-1]
-    kf_active = kf_active[::-1]
 
     # (L, M, W): does obs m of landmark l live in window position w?
-    in_win = (lm.obs_kf[:, :, None] == window_slots[None, None, :]) \
+    in_win = (lm.obs_kf[:, :, None] == seq[None, None, :]) \
         & lm.obs_valid[:, :, None] & kf_active[None, None, :]
     obs_per_lm = jnp.sum(in_win.astype(jnp.int32), axis=(1, 2))
     score = jnp.where(lm.active, obs_per_lm, -1)

@@ -73,7 +73,11 @@ class LandmarkMap(NamedTuple):
     last_seen: jnp.ndarray   # (L,) f32 seconds
     active: jnp.ndarray      # (L,) bool
     obs_uv: jnp.ndarray      # (L, M, 2) ring of observed pixels
-    obs_kf: jnp.ndarray      # (L, M) int32 keyframe ring-slot of each obs
+    obs_kf: jnp.ndarray      # (L, M) int32 MONOTONE keyframe sequence number
+    #                           (ring slot = seq % max_keyframes; monotone ids
+    #                           let stale observations of recycled slots be
+    #                           masked out instead of silently attaching to
+    #                           the wrong pose)
     obs_valid: jnp.ndarray   # (L, M) bool
     obs_head: jnp.ndarray    # (L,) int32 ring write position
     next_id: jnp.ndarray     # () int64-ish global landmark id counter
@@ -177,9 +181,13 @@ def triangulate_all(cfg: SLAMConfig, k: Intrinsics, lm: LandmarkMap,
     observing keyframe.  Uses the CORRECT projection P = K[Rᵀ|−Rᵀt].
     """
     l, m = lm.obs_kf.shape
-    q_kf = kdb.q[lm.obs_kf]                 # (L, M, 4)
-    t_kf = kdb.t[lm.obs_kf]                 # (L, M, 3)
-    valid = lm.obs_valid                     # (L, M)
+    f_cap = kdb.q.shape[0]
+    slots = lm.obs_kf % f_cap
+    q_kf = kdb.q[slots]                     # (L, M, 4)
+    t_kf = kdb.t[slots]                     # (L, M, 3)
+    # exclude observations whose keyframe slot has been recycled by the ring
+    live = lm.obs_kf >= (kdb.next_slot - f_cap)
+    valid = lm.obs_valid & live              # (L, M)
 
     # normalized image coords of each observation
     xn = (lm.obs_uv[..., 0] - k.cx) / k.fx
@@ -271,8 +279,9 @@ def insert_keyframe(cfg: SLAMConfig, state: MapState, kf: KeyframeBlock,
     obs_cat = categorize(kf.uv, det)
     obs_keep = kf.mask & ~filtered_mask[obs_cat]
 
-    # this keyframe's ring slot
+    # this keyframe's monotone sequence id + ring slot
     f_cap = kdb.q.shape[0]
+    kf_seq = kdb.next_slot                 # monotone; stored in obs rings
     slot = kdb.next_slot % f_cap
 
     # association against current landmark set
@@ -284,7 +293,7 @@ def insert_keyframe(cfg: SLAMConfig, state: MapState, kf: KeyframeBlock,
     new_n_obs = lm.n_obs.at[upd_idx].add(jnp.where(matched, 1, 0), mode="drop")
     head = lm.obs_head[assoc_idx] % m_ring
     obs_uv = lm.obs_uv.at[upd_idx, head].set(kf.uv, mode="drop")
-    obs_kf_arr = lm.obs_kf.at[upd_idx, head].set(slot, mode="drop")
+    obs_kf_arr = lm.obs_kf.at[upd_idx, head].set(kf_seq, mode="drop")
     obs_val = lm.obs_valid.at[upd_idx, head].set(True, mode="drop")
     lm = lm._replace(
         desc_bits=ins(lm.desc_bits, kf.desc_bits),
@@ -317,7 +326,7 @@ def insert_keyframe(cfg: SLAMConfig, state: MapState, kf: KeyframeBlock,
             jnp.full(c_cap, kf.timestamp), mode="drop"),
         active=lm.active.at[dest].set(True, mode="drop"),
         obs_uv=lm.obs_uv.at[dest, 0].set(kf.uv, mode="drop"),
-        obs_kf=lm.obs_kf.at[dest, 0].set(slot, mode="drop"),
+        obs_kf=lm.obs_kf.at[dest, 0].set(kf_seq, mode="drop"),
         obs_valid=lm.obs_valid.at[dest, 0].set(can_alloc, mode="drop"),
         obs_head=lm.obs_head.at[dest].set(1, mode="drop"),
         next_id=lm.next_id + jnp.sum(can_alloc.astype(jnp.int32)))

@@ -90,6 +90,7 @@ def cmd_run(args) -> int:
         if t_gt is not None:
             gt_list.append(t_gt)
         n += 1
+    slam.finalize()
     wall = time.perf_counter() - t_start
 
     # exports

@@ -119,7 +119,10 @@ class AssociationConfig:
 
     max_hamming: int = 50
     max_reprojection_px: float = 5.0
-    min_depth_consistency: float = 0.02
+    # declared-but-unused in the reference too (min_parallax_ratio_,
+    # backend.cpp:227,635 — the code actually gates on the 5° angle,
+    # backend.cpp:517); kept for config parity
+    min_parallax_ratio: float = 0.02
 
 
 @dataclass(frozen=True)

@@ -31,7 +31,7 @@ from dynamic_visual_slam_tpu.ops import linalg_small as ls
 
 
 def _sample_indices(key: jax.Array, n_hyp: int, sample_size: int,
-                    count: jnp.ndarray, capacity: int) -> jnp.ndarray:
+                    count: jnp.ndarray) -> jnp.ndarray:
     """(n_hyp, sample_size) indices into the *compacted* valid region [0,count).
 
     Uniform with replacement across draws; within a draw duplicates are
@@ -75,22 +75,28 @@ def _normalize_points(pts: jnp.ndarray):
     return (pts - c) * s, t
 
 
-def _eight_point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
-    """(8,2),(8,2) → F (3,3) via normalized 8-point + rank-2 projection."""
+def _eight_point_weighted(p1: jnp.ndarray, p2: jnp.ndarray,
+                          w: jnp.ndarray) -> jnp.ndarray:
+    """Normalized 8-point from weighted correspondences → F (3,3): epipolar
+    rows x2ᵀFx1=0, nullspace via AᵀA smallest eigvec (jnp.linalg.svd lowers
+    to a sequential loop on TPU — avoided), rank-2 projection
+    F(I − v₃v₃ᵀ), denormalize."""
     n1, t1 = _normalize_points(p1)
     n2, t2 = _normalize_points(p2)
     x1, y1 = n1[:, 0], n1[:, 1]
     x2, y2 = n2[:, 0], n2[:, 1]
-    ones = jnp.ones_like(x1)
-    # x2ᵀ F x1 = 0 rows; nullspace via batched-friendly AᵀA smallest eigvec
-    # (jnp.linalg.svd lowers to a sequential loop on TPU — avoided)
-    a = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], -1)
+    a = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1,
+                   jnp.ones_like(x1)], -1) * w[:, None]
     f = ls.smallest_eigvec(a.T @ a).reshape(3, 3)
-    # rank-2 projection: F(I − v₃v₃ᵀ) with v₃ the smallest right-singular vec
     _, v = ls.eigh3x3(f.T @ f)
     v3 = v[..., 0]
     f2 = f - jnp.outer(f @ v3, v3)
     return t2.T @ f2 @ t1
+
+
+def _eight_point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """(8,2),(8,2) minimal sample → F (3,3)."""
+    return _eight_point_weighted(p1, p2, jnp.ones(p1.shape[0]))
 
 
 def _epipolar_errors(f: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
@@ -116,7 +122,7 @@ def fundamental_ransac(p1: jnp.ndarray, p2: jnp.ndarray, mask: jnp.ndarray,
     order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)
     cp1, cp2 = p1[order], p2[order]
 
-    samples = _sample_indices(key, n_hyp, 8, count, k_cap)      # (N,8)
+    samples = _sample_indices(key, n_hyp, 8, count)      # (N,8)
     s1 = cp1[samples]                                            # (N,8,2)
     s2 = cp2[samples]
     fs = jax.vmap(_eight_point)(s1, s2)                          # (N,3,3)
@@ -125,18 +131,10 @@ def fundamental_ransac(p1: jnp.ndarray, p2: jnp.ndarray, mask: jnp.ndarray,
     scores = jnp.sum(inl, axis=1)
     best = jnp.argmax(scores)
 
-    # least-squares refit on the best inlier set (weighted 9x9 eigenproblem)
+    # least-squares refit on the best inlier set
     w = inl[best].astype(jnp.float32)
-    n1, t1 = _normalize_points(jnp.where(mask[:, None], p1, 0.0))
-    n2, t2 = _normalize_points(jnp.where(mask[:, None], p2, 0.0))
-    x1, y1 = n1[:, 0], n1[:, 1]
-    x2, y2 = n2[:, 0], n2[:, 1]
-    a = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1,
-                   jnp.ones_like(x1)], -1) * w[:, None]
-    f = ls.smallest_eigvec(a.T @ a).reshape(3, 3)
-    _, v = ls.eigh3x3(f.T @ f)
-    v3 = v[..., 0]
-    f = t2.T @ (f - jnp.outer(f @ v3, v3)) @ t1
+    f = _eight_point_weighted(jnp.where(mask[:, None], p1, 0.0),
+                              jnp.where(mask[:, None], p2, 0.0), w)
     refined_inl = (_epipolar_errors(f, p1, p2) < threshold) & mask
     refined_n = jnp.sum(refined_inl)
     use_refined = refined_n >= scores[best]
@@ -251,7 +249,7 @@ def pnp_ransac(k: Intrinsics, xyz: jnp.ndarray, uv: jnp.ndarray,
     xn = jnp.stack([(uv[:, 0] - k.cx) / k.fx, (uv[:, 1] - k.cy) / k.fy], -1)
     cxn = xn[order]
 
-    samples = _sample_indices(key, n_hyp, 6, count, xyz.shape[0])
+    samples = _sample_indices(key, n_hyp, 6, count)
     rs, ts = jax.vmap(_dlt_pose)(cxyz[samples], cxn[samples])    # (N,3,3),(N,3)
     errs = jax.vmap(lambda r, t: _reproj_errors(k, r, t, xyz, uv))(rs, ts)
     inl = (errs < threshold) & mask[None, :]

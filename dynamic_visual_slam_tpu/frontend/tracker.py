@@ -175,7 +175,12 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     is_kf = (~state.has_kf) | \
         (n_kf_matches < cfg.keyframe.min_matches_to_last_kf) | \
         (state.frames_since_kf >= cfg.keyframe.max_frames_between_kf)
-    is_kf = is_kf & ~lost
+    # quality deviation from the reference (docs/PARITY.md): the reference
+    # publishes keyframes even when PnP failed / the motion gate tripped,
+    # backprojecting current pixels through the STALE pose — corrupting the
+    # map exactly when tracking is weakest.  Require a tracked pose (or the
+    # bootstrap frames) before emitting a keyframe.
+    is_kf = is_kf & ~lost & (accept | ~state.has_prev)
 
     # --- keyframe payload: culled features + world positions ----------------
     keep = _select_keyframe_features(cfg, kps, fm_inlier)

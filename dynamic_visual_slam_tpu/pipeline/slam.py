@@ -80,6 +80,7 @@ class SLAMSystem:
         self.tracker_state = tracker.init_state(cfg)
         self.map_state = mapping.init_map(cfg)
         self._empty_det = mapping.Detections.empty(cfg.semantic.max_detections)
+        self._t0: Optional[float] = None
         self._last_ba_t: Optional[float] = None
         self._pending_ba = None
         self.trajectory: List[FrameResult] = []
@@ -87,7 +88,10 @@ class SLAMSystem:
         self.loop_candidates: List[Dict[str, Any]] = []
         self._bow_db = None
         self._kf_descs: List[Any] = []   # pre-vocabulary descriptor buffer
-        self._kf_store: Dict[int, Any] = {}  # DB slot → (desc_bits, uv) arrays
+        # DB slot → (monotone seq id, padded device desc/uv/mask)
+        self._kf_store: Dict[int, Any] = {}
+        self._kf_seq = 0
+        self._pending_loops: List[Any] = []
         self._verify_loop_fn = None
         self.stats = dict(frames=0, keyframes=0, ba_runs=0, ba_converged=0,
                           loop_candidates=0)
@@ -95,12 +99,20 @@ class SLAMSystem:
     # ------------------------------------------------------------------
     def process(self, gray: np.ndarray, depth_m: np.ndarray, timestamp: float,
                 detections: Optional[mapping.Detections] = None) -> FrameResult:
-        """One RGB-D frame (+ optional synced detections) through the system."""
+        """One RGB-D frame (+ optional synced detections) through the system.
+
+        Device code works in SEQUENCE-RELATIVE time: absolute stamps (e.g.
+        TUM epoch seconds ~1.3e9, whose f32 ULP is 128 s!) would destroy the
+        prune-age math and keyframe stamps; t0 is re-added at export.
+        """
+        if self._t0 is None:
+            self._t0 = timestamp
+        ts_rel = timestamp - self._t0
         det = detections if detections is not None else self._empty_det
         self.tracker_state, out = self._track(
             self.tracker_state, jnp.asarray(gray, jnp.float32),
             jnp.asarray(depth_m, jnp.float32),
-            jnp.asarray(timestamp, jnp.float32))
+            jnp.asarray(ts_rel, jnp.float32))
 
         # keyframe → backend insert (device-async; host reads only the flag)
         is_kf = bool(out.is_keyframe)
@@ -108,6 +120,7 @@ class SLAMSystem:
             self.map_state, _ = self._insert(self.map_state, out.keyframe, det)
             self.stats["keyframes"] += 1
             if self.enable_place_recognition:
+                self._harvest_loops()   # previous keyframe's checks are done
                 self._place_recognition(out.keyframe, timestamp)
 
         # periodic BA (2 s wall-timer equivalent, backend.cpp:207-209); the
@@ -121,14 +134,14 @@ class SLAMSystem:
             self._record_ba(res, ts)
             self._pending_ba = None
         if self._last_ba_t is None:
-            self._last_ba_t = timestamp
-        if (timestamp - self._last_ba_t >= self.config.ba.period_s
+            self._last_ba_t = ts_rel
+        if (ts_rel - self._last_ba_t >= self.config.ba.period_s
                 and int(self.map_state.keyframes.count) >= 2):
-            self._last_ba_t = timestamp
+            self._last_ba_t = ts_rel
             self.map_state, res = self._run_ba(self.map_state)
             self.map_state = self.map_state._replace(
                 landmarks=self._prune(self.map_state.landmarks,
-                                      jnp.asarray(timestamp, jnp.float32)))
+                                      jnp.asarray(ts_rel, jnp.float32)))
             self.stats["ba_runs"] += 1
             if self.ba_async:
                 self._pending_ba = (res, timestamp)
@@ -150,7 +163,8 @@ class SLAMSystem:
 
         The vocabulary is trained online from the first few keyframes'
         descriptors (DBoW2-style create()); drop in load_orbvoc_text for the
-        pretrained ORB vocabulary instead.
+        pretrained ORB vocabulary instead.  Candidate ids are MONOTONE
+        keyframe sequence numbers (not DB slots, which wrap at capacity).
         """
         from dynamic_visual_slam_tpu.place import bow
         m = np.asarray(kf.mask)
@@ -168,35 +182,53 @@ class SLAMSystem:
                 voc, capacity=self.config.place.max_db_entries)
             for d, u in self._kf_descs:
                 slot = self._bow_db.add(jnp.asarray(d))
-                self._kf_store[slot] = (d, u)
+                self._store_kf(slot, d, u)
             self._kf_descs = []
             return
         res = self._bow_db.query(jnp.asarray(desc), top_k=3)
         entry = self._bow_db.add(jnp.asarray(desc))
-        self._kf_store[entry] = (desc, uv)
+        entry_seq = self._store_kf(entry, desc, uv)
         for i in range(3):
             if not bool(res.valid[i]):
                 continue
             cand, score = int(res.entry_ids[i]), float(res.scores[i])
-            if entry - cand < self.loop_min_gap or score < self.loop_min_score:
+            if cand not in self._kf_store or score < self.loop_min_score:
                 continue
-            rec = dict(keyframe=entry, candidate=cand, score=round(score, 4),
-                       timestamp=timestamp)
+            cand_seq = self._kf_store[cand][0]
+            if entry_seq - cand_seq < self.loop_min_gap:
+                continue
+            rec = dict(keyframe=entry_seq, candidate=cand_seq,
+                       score=round(score, 4), timestamp=timestamp)
             if self.loop_geometric_check:
-                n_inl = self._verify_loop(entry, cand)
-                rec["inliers"] = n_inl
-                if n_inl < self.loop_min_inliers:
-                    continue
-            self.loop_candidates.append(rec)
-            self.stats["loop_candidates"] += 1
+                # async dispatch; the scalar is harvested next keyframe (the
+                # BA _pending pattern) so the frame loop never blocks here
+                inl = self._dispatch_verify(entry, cand)
+                self._pending_loops.append((rec, inl))
+            else:
+                self.loop_candidates.append(rec)
+                self.stats["loop_candidates"] += 1
             break
 
-    def _verify_loop(self, entry: int, cand: int) -> int:
-        """Geometric consistency: mutual descriptor matches between the two
-        keyframes + fundamental RANSAC; returns the inlier count."""
+    def _store_kf(self, slot: int, desc: np.ndarray, uv: np.ndarray) -> int:
+        """Cache the keyframe's padded DEVICE arrays under its DB slot
+        (uploaded once; reused by every later verification)."""
+        cap = self.config.map.max_obs_per_keyframe
+        n = min(len(desc), cap)
+        dd = np.zeros((cap, 256), np.uint8)
+        uu = np.zeros((cap, 2), np.float32)
+        dd[:n] = desc[:n]
+        uu[:n] = uv[:n]
+        seq = self._kf_seq
+        self._kf_seq += 1
+        self._kf_store[slot] = (seq, jnp.asarray(dd), jnp.asarray(uu),
+                                jnp.arange(cap) < n)
+        return seq
+
+    def _dispatch_verify(self, entry: int, cand: int):
+        """Enqueue the geometric check (Hamming matmul + F-RANSAC) on device;
+        returns the un-materialized scalar."""
         from dynamic_visual_slam_tpu.frontend import ransac
         from dynamic_visual_slam_tpu.ops import hamming
-        cap = self.config.map.max_obs_per_keyframe
 
         if self._verify_loop_fn is None:
             cfg = self.config
@@ -206,26 +238,96 @@ class SLAMSystem:
                                     max_distance=float(cfg.match.max_hamming),
                                     cross_check=True)
                 fm = ransac.fundamental_ransac(
-                    uv2[res.train_idx], uv1, res.valid & m1, key,
+                    uv2[res.train_idx], uv1, res.valid, key,
                     n_hyp=cfg.ransac.fm_iterations,
                     threshold=cfg.ransac.fm_threshold_px)
                 return jnp.sum((fm.inliers & fm.valid).astype(jnp.int32))
 
             self._verify_loop_fn = jax.jit(fn)
 
-        def padded(arrs):
-            d, uv = arrs
-            n = min(len(d), cap)
-            dd = np.zeros((cap, 256), np.uint8)
-            uu = np.zeros((cap, 2), np.float32)
-            dd[:n] = d[:n]
-            uu[:n] = uv[:n]
-            return (jnp.asarray(dd), jnp.asarray(uu),
-                    jnp.arange(cap) < n)
-        d1, uv1, m1 = padded(self._kf_store[entry])
-        d2, uv2, m2 = padded(self._kf_store[cand])
+        _, d1, uv1, m1 = self._kf_store[entry]
+        _, d2, uv2, m2 = self._kf_store[cand]
         key = jax.random.key(entry * 9973 + cand)
-        return int(self._verify_loop_fn(d1, uv1, m1, d2, uv2, m2, key))
+        return self._verify_loop_fn(d1, uv1, m1, d2, uv2, m2, key)
+
+    def _harvest_loops(self) -> None:
+        for rec, inl in self._pending_loops:
+            n_inl = int(inl)
+            rec["inliers"] = n_inl
+            if n_inl >= self.loop_min_inliers:
+                self.loop_candidates.append(rec)
+                self.stats["loop_candidates"] += 1
+        self._pending_loops = []
+
+    def finalize(self) -> None:
+        """Flush deferred work (pending loop verifications / BA telemetry) —
+        call once after the last frame."""
+        if self._pending_ba is not None:
+            res, ts = self._pending_ba
+            self._record_ba(res, ts)
+            self._pending_ba = None
+        self._harvest_loops()
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Full-system checkpoint: core device states (pipeline/snapshot.py)
+        plus the place-recognition database, so a resumed system can close
+        loops against pre-snapshot keyframes."""
+        from dynamic_visual_slam_tpu.pipeline import snapshot
+        snapshot.save(path, self.tracker_state, self.map_state, self.config)
+        if self._bow_db is not None:
+            extra = dict(
+                vectors=np.asarray(self._bow_db.vectors),
+                used=np.asarray(self._bow_db.used),
+                count=self._bow_db.count,
+                word_weights=np.asarray(self._bow_db.vocabulary.word_weights),
+                kfseq_counter=self._kf_seq)
+            for l, (lv, va) in enumerate(zip(self._bow_db.vocabulary.levels,
+                                             self._bow_db.vocabulary.valid)):
+                extra[f"voc_level_{l}"] = np.asarray(lv)
+                extra[f"voc_valid_{l}"] = np.asarray(va)
+            for slot, (seq, d, uv, m) in self._kf_store.items():
+                extra[f"kf_{slot}_seq"] = np.asarray(seq)
+                extra[f"kf_{slot}_desc"] = np.asarray(d)
+                extra[f"kf_{slot}_uv"] = np.asarray(uv)
+                extra[f"kf_{slot}_mask"] = np.asarray(m)
+            np.savez_compressed(path + ".place", **extra)
+
+    def restore(self, path: str) -> None:
+        """Load a save() checkpoint into this system (config must match)."""
+        import os
+
+        from dynamic_visual_slam_tpu.pipeline import snapshot
+        from dynamic_visual_slam_tpu.place import bow
+        ts, ms, cfg = snapshot.load(path)
+        assert cfg == self.config, "snapshot config mismatch"
+        self.tracker_state = ts
+        self.map_state = ms
+        place_path = path + ".place.npz"
+        if os.path.exists(place_path):
+            data = np.load(place_path)
+            depth = self.config.place.depth
+            voc = bow.Vocabulary(
+                k=self.config.place.branching, depth=depth,
+                levels=[jnp.asarray(data[f"voc_level_{l}"])
+                        for l in range(depth)],
+                valid=[jnp.asarray(data[f"voc_valid_{l}"])
+                       for l in range(depth)],
+                word_weights=jnp.asarray(data["word_weights"]))
+            self._bow_db = bow.Database(
+                voc, capacity=self.config.place.max_db_entries,
+                vectors=jnp.asarray(data["vectors"]),
+                used=jnp.asarray(data["used"]), count=int(data["count"]))
+            self._kf_seq = int(data["kfseq_counter"])
+            self._kf_store = {}
+            for key in data.files:
+                if key.endswith("_seq") and key.startswith("kf_"):
+                    slot = int(key.split("_")[1])
+                    self._kf_store[slot] = (
+                        int(data[key]),
+                        jnp.asarray(data[f"kf_{slot}_desc"]),
+                        jnp.asarray(data[f"kf_{slot}_uv"]),
+                        jnp.asarray(data[f"kf_{slot}_mask"]))
 
     def _record_ba(self, res, ts) -> None:
         conv = bool(res.converged)
@@ -247,7 +349,10 @@ class SLAMSystem:
         n = int(kdb.count)
         k = min(n, f_cap)
         slots = [(int(kdb.next_slot) - k + i) % f_cap for i in range(k)]
-        stamps = np.asarray(kdb.stamp)[slots]
+        # float64 BEFORE adding t0: numpy keeps f32 when adding a python
+        # float, which would collapse epoch stamps onto the 128 s f32 grid
+        stamps = np.asarray(kdb.stamp).astype(np.float64)[slots] \
+            + (self._t0 or 0.0)
         rs = np.asarray(lie.quat_to_mat(kdb.q[jnp.asarray(slots)]))
         ts = np.asarray(kdb.t)[slots]
         return stamps, rs, ts
