@@ -16,6 +16,21 @@ REFERENCE_FPS = 30.0
 
 
 def main() -> None:
+    # the axon TPU tunnel occasionally throws transient FAILED_PRECONDITION
+    # right after other processes' compiles; one retry clears it
+    for attempt in range(3):
+        try:
+            _run()
+            return
+        except Exception as e:  # noqa: BLE001 - backend errors vary by type
+            if attempt == 2:
+                raise
+            print(f"bench attempt {attempt + 1} failed ({e}); retrying",
+                  file=sys.stderr)
+            time.sleep(20.0)
+
+
+def _run() -> None:
     import jax
     import jax.numpy as jnp
 
