@@ -1,0 +1,47 @@
+"""System-level soak: long sequence with small capacities forcing
+keyframe-ring wrap, landmark saturation, repeated BA, and loop checks —
+the long-horizon bounded-state story (SURVEY.md §5) exercised end to end."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from dynamic_visual_slam_tpu.config import CameraConfig, MapConfig, SLAMConfig
+from dynamic_visual_slam_tpu.io import synthetic
+from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
+
+
+@pytest.mark.slow
+def test_long_run_with_ring_wrap_stays_healthy():
+    cam = CameraConfig(width=160, height=120, fx=130.0, fy=130.0,
+                       cx=79.5, cy=59.5)
+    base = SLAMConfig()
+    cfg = base.replace(
+        camera=cam,
+        keyframe=dataclasses.replace(base.keyframe, max_frames_between_kf=6),
+        ba=dataclasses.replace(base.ba, period_s=1.0),  # 120 frames = 4 s
+        map=MapConfig(max_landmarks=1024, max_keyframes=8,
+                      max_obs_per_landmark=6, max_obs_per_keyframe=256))
+    slam = SLAMSystem(cfg, ba_async=True, vocab_train_keyframes=3,
+                      loop_min_gap=4, loop_min_score=0.08)
+    frames = []
+    for s in (31, 32, 31):       # wander, new scene, revisit
+        frames += list(synthetic.generate_sequence(cam, 40, seed=s,
+                                                   depth_noise=0.004))
+    for i, (gray, depth, _, _, _) in enumerate(frames):
+        fr = slam.process(gray, depth, i / 30.0)
+    slam.finalize()
+
+    est = np.stack([f.t_wc for f in slam.trajectory])
+    assert np.isfinite(est).all()
+    ok = np.mean([f.tracking_ok for f in slam.trajectory[1:]])
+    assert ok > 0.9, ok
+    # the 8-slot keyframe ring wrapped at least once and BA kept running
+    assert slam.stats["keyframes"] > 8
+    assert slam.stats["ba_runs"] >= 2
+    assert all(e["final_cost"] <= e["initial_cost"] * 1.001
+               for e in slam.ba_log)
+    # landmark arena stayed within capacity and active
+    lms = slam.landmarks_world()
+    assert 0 < len(lms["xyz"]) <= 1024
