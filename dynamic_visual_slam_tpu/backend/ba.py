@@ -103,6 +103,33 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
     first_active = jnp.cumsum(problem.kf_active.astype(jnp.int32)) == 1
     gauge_free = problem.kf_active & ~first_active
 
+    # soft priors (see BAConfig): anchor poses to the tracker estimates and
+    # points to their depth-measured inits — removes the scale gauge and
+    # keeps weakly-shared keyframes from escaping their basin
+    w_rot = 1.0 / cfg.pose_prior_sigma_rot ** 2 \
+        if cfg.pose_prior_sigma_rot > 0 else 0.0
+    w_trn = 1.0 / cfg.pose_prior_sigma_t ** 2 \
+        if cfg.pose_prior_sigma_t > 0 else 0.0
+    w_pt_prior = 1.0 / cfg.point_prior_sigma ** 2 \
+        if cfg.point_prior_sigma > 0 else 0.0
+    wp_diag = jnp.asarray([w_rot] * 3 + [w_trn] * 3, jnp.float32)
+
+    def prior_residuals(q_cw, t_cw, xyz):
+        """Left-multiplicative pose tangents relative to the inits + point
+        deltas: rp_pose (W,6), rp_pt (L,3)."""
+        q_err = lie.quat_mul(q_cw, lie.quat_conj(q_cw0))
+        dtheta = lie.so3_log(q_err)
+        dt = t_cw - lie.quat_rotate(q_err, t_cw0)
+        rp_pose = jnp.concatenate([dtheta, dt], axis=-1) \
+            * gauge_free[:, None]
+        rp_pt = (xyz - problem.xyz) * problem.lm_active[:, None]
+        return rp_pose, rp_pt
+
+    def prior_cost(q_cw, t_cw, xyz):
+        rp_pose, rp_pt = prior_residuals(q_cw, t_cw, xyz)
+        return 0.5 * (jnp.sum(rp_pose * rp_pose * wp_diag[None, :])
+                      + w_pt_prior * jnp.sum(rp_pt * rp_pt))
+
     def linearize(q_cw, t_cw, xyz):
         r, ok, xc = _residuals(k, q_cw, t_cw, xyz, problem.uv, obs_ok, sigma)
         w_huber = _huber_weight(r, cfg.huber_delta) * ok
@@ -136,6 +163,15 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
         w_blk = jnp.einsum("lwri,lwrj->lwij", j_pose * whx, j_pt)    # (L,W,6,3)
         g_pose = jnp.einsum("lwri,lwr->wi", j_pose * whx, r)          # (W,6)
         g_pt = jnp.einsum("lwri,lwr->li", j_pt * whx, r)              # (L,3)
+
+        # prior terms (J ≈ I in the tangent): H += diag(w), g += w·r_prior
+        rp_pose, rp_pt = prior_residuals(q_cw, t_cw, xyz)
+        u_blk = u_blk + jnp.diag(wp_diag)[None] \
+            * gauge_free[:, None, None]
+        v_blk = v_blk + w_pt_prior * jnp.eye(3)[None] \
+            * problem.lm_active[:, None, None]
+        g_pose = g_pose + wp_diag[None, :] * rp_pose
+        g_pt = g_pt + w_pt_prior * rp_pt
 
         # Ceres-style multiplicative damping: J'J + λ·diag(J'J) with the
         # diagonal clamped away from zero — regularizes near-parallax-free
@@ -183,7 +219,7 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
 
     r0, ok0, _ = _residuals(k, q_cw0, t_cw0, problem.xyz, problem.uv,
                             obs_ok, sigma)
-    cost0 = _cost(r0, ok0, cfg.huber_delta)
+    cost0 = _cost(r0, ok0, cfg.huber_delta)   # prior cost is 0 at the inits
 
     class Carry(NamedTuple):
         q_cw: jnp.ndarray
@@ -200,7 +236,8 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
             c.q_cw, c.t_cw, c.xyz, c.lam)
         r_new, ok_new, _ = _residuals(k, q_new, t_new, x_new, problem.uv,
                                       obs_ok, sigma)
-        cost_new = _cost(r_new, ok_new, cfg.huber_delta)
+        cost_new = _cost(r_new, ok_new, cfg.huber_delta) \
+            + prior_cost(q_new, t_new, x_new)
         # Ceres trust-region acceptance: gain ratio vs the quadratic model
         rho = (c.cost - cost_new) / jnp.maximum(pred, 1e-20)
         accept = (rho > 1e-3) & (cost_new < c.cost)

@@ -148,6 +148,16 @@ class BAConfig:
     gradient_tolerance: float = 1e-10
     parameter_tolerance: float = 1e-8
     init_lambda: float = 1e-4     # Ceres default trust-region init 1e4 radius ⇒ λ=1e-4
+    # Soft priors anchoring poses to their tracker estimates and points to
+    # their metric-depth measurements.  Reprojection-only RGB-D BA is gauge-
+    # deficient (global scale; weakly-shared keyframes can escape their
+    # basin while fitting their own observations perfectly — observed 1 m
+    # pose jumps on small windows).  The reference sidesteps this only
+    # because its Ceres success gate usually DISCARDS results; priors fix it
+    # properly.  Set sigma <= 0 to disable.
+    pose_prior_sigma_rot: float = 0.10   # rad
+    pose_prior_sigma_t: float = 0.30     # m
+    point_prior_sigma: float = 0.15      # m  (RealSense depth noise ~1-2%)
     # --- TPU capacities ---
     max_observations: int = 4096
 

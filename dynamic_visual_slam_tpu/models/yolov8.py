@@ -47,7 +47,7 @@ def _width(c: int, w: float = 0.25, max_c: int = 1024) -> int:
 
 def yolov8n_spec() -> Dict[str, Any]:
     """Channel/depth layout for the 'n' scale."""
-    w, d = 0.25, 0.34
+    w, d = 0.25, 0.33
     c = [_width(64, w), _width(128, w), _width(256, w), _width(512, w),
          _width(1024, w)]
     return dict(channels=c, n1=_depth(3, d), n2=_depth(6, d))
@@ -128,14 +128,17 @@ def _conv(p, x, stride=1):
     return (y * jax.nn.sigmoid(y)).astype(jnp.bfloat16)    # SiLU
 
 
-def _c2f(p, x):
+def _c2f(p, x, shortcut: bool):
+    """ultralytics C2f: cv2 input is [y0, y1, m1..mn] in that order; the
+    bottleneck residual applies only when shortcut=True (backbone blocks —
+    the PAN-neck C2f blocks are built with shortcut=False)."""
     y = _conv(p["cv1"], x)
     h = y.shape[-1] // 2
     parts = [y[..., :h], y[..., h:]]
     for m in p["m"]:
         z = _conv(m["cv2"], _conv(m["cv1"], parts[-1]))
-        parts.append(parts[-1] + z)                         # shortcut (c2f)
-    return _conv(p["cv2"], jnp.concatenate(parts[1:] + [parts[0]], axis=-1))
+        parts.append(parts[-1] + z if shortcut else z)
+    return _conv(p["cv2"], jnp.concatenate(parts, axis=-1))
 
 
 def _sppf(p, x):
@@ -171,23 +174,25 @@ def forward(params: Dict[str, Any], img: jnp.ndarray
     """img: (N, H, W, 3) float32 in [0,1] → per-scale (box_logits, cls_logits)."""
     x = _conv(params["stem"], img, stride=2)
     x = _conv(params["down1"], x, stride=2)
-    x = _c2f(params["c2f1"], x)
+    x = _c2f(params["c2f1"], x, shortcut=True)
     x = _conv(params["down2"], x, stride=2)
-    p3 = _c2f(params["c2f2"], x)                     # stride 8
+    p3 = _c2f(params["c2f2"], x, shortcut=True)                     # stride 8
     x = _conv(params["down3"], p3, stride=2)
-    p4 = _c2f(params["c2f3"], x)                     # stride 16
+    p4 = _c2f(params["c2f3"], x, shortcut=True)                     # stride 16
     x = _conv(params["down4"], p4, stride=2)
-    x = _c2f(params["c2f4"], x)
+    x = _c2f(params["c2f4"], x, shortcut=True)
     p5 = _sppf(params["sppf"], x)                    # stride 32
 
     # top-down
-    u4 = _c2f(params["up_c2f1"], jnp.concatenate([_upsample2(p5), p4], -1))
-    u3 = _c2f(params["up_c2f2"], jnp.concatenate([_upsample2(u4), p3], -1))
+    u4 = _c2f(params["up_c2f1"], jnp.concatenate([_upsample2(p5), p4], -1),
+              shortcut=False)
+    u3 = _c2f(params["up_c2f2"], jnp.concatenate([_upsample2(u4), p3], -1),
+              shortcut=False)
     # bottom-up
     d4 = _c2f(params["down_c2f1"], jnp.concatenate(
-        [_conv(params["down_conv1"], u3, stride=2), u4], -1))
+        [_conv(params["down_conv1"], u3, stride=2), u4], -1), shortcut=False)
     d5 = _c2f(params["down_c2f2"], jnp.concatenate(
-        [_conv(params["down_conv2"], d4, stride=2), p5], -1))
+        [_conv(params["down_conv2"], d4, stride=2), p5], -1), shortcut=False)
 
     return [_head(params["heads"][0], u3),
             _head(params["heads"][1], d4),
@@ -205,7 +210,7 @@ class RawDetections(NamedTuple):
     valid: jnp.ndarray     # (D,) bool
 
 
-def decode(outputs, input_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def decode(outputs) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-scale head outputs → (boxes (A,4) xyxy, class scores (A,C))."""
     boxes_all, cls_all = [], []
     for (box, cls), stride in zip(outputs, STRIDES):
@@ -245,6 +250,7 @@ def nms(boxes: jnp.ndarray, cls_scores: jnp.ndarray, max_out: int,
     class score, then `max_out` rounds of select-max + suppress."""
     best_cls = jnp.argmax(cls_scores, axis=1).astype(jnp.int32)
     best_score = jnp.max(cls_scores, axis=1)
+    prefilter = min(prefilter, best_score.shape[0])   # small inputs
     top_score, top_idx = jax.lax.top_k(best_score, prefilter)
     cand_boxes = boxes[top_idx]
     cand_cls = best_cls[top_idx]
@@ -273,5 +279,5 @@ def detect(params: Dict[str, Any], img: jnp.ndarray, input_size: int = 640,
     """img: (H=input_size, W=input_size, 3) float32 [0,1] → detections in
     input pixels."""
     outs = forward(params, img[None])
-    boxes, cls_scores = decode(outs, input_size)
+    boxes, cls_scores = decode(outs)
     return nms(boxes, cls_scores, max_out, score_thr, iou_thr)

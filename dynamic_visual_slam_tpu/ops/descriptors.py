@@ -32,6 +32,10 @@ CX = 64
 KPB = 8               # keypoints per grid step
 PAD_T, PAD_L = 32, 128   # generous margins so origins never clip
 REACH = 20            # max |rotated offset| + rounding (13·√2 ≈ 18.4 → 20)
+# patch bounds: in-patch keypoint row ∈ [CY, CY+7], col ∈ [CX, CX+127]
+# (alignment residue), plus the rotated-sample reach each side
+assert CY - REACH >= 0 and CY + 7 + REACH < PH
+assert CX - REACH >= 0 and CX + 127 + REACH < PW
 
 
 def _pad_image(img_plus_reflect: jnp.ndarray) -> jnp.ndarray:

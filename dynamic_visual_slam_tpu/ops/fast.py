@@ -137,7 +137,7 @@ def corner_score_pallas(img: jnp.ndarray, tile_rows: int = 32) -> jnp.ndarray:
 
 def corner_score_auto(img: jnp.ndarray) -> jnp.ndarray:
     """Pallas on TPU (unless DVS_DISABLE_PALLAS=1), XLA elsewhere."""
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("DVS_DISABLE_PALLAS") != "1"):
+    from dynamic_visual_slam_tpu.ops.descriptors import use_pallas
+    if use_pallas():
         return corner_score_pallas(img)
     return corner_score(img)

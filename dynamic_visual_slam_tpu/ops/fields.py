@@ -155,8 +155,8 @@ def frontend_fields_pallas(img: jnp.ndarray, tile_rows: int = 16
 def frontend_fields(img: jnp.ndarray
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused Pallas path on TPU; XLA fallback elsewhere."""
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("DVS_DISABLE_PALLAS") != "1"):
+    from dynamic_visual_slam_tpu.ops.descriptors import use_pallas
+    if use_pallas():
         return frontend_fields_pallas(img)
     from dynamic_visual_slam_tpu.frontend.orb import moment_maps
     from dynamic_visual_slam_tpu.ops.fast import corner_score

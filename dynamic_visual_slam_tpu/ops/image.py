@@ -125,9 +125,20 @@ def maxpool_same(x: jnp.ndarray, size: int = 3) -> jnp.ndarray:
 
 
 def cell_reduce_max(x: jnp.ndarray, cell: int) -> jnp.ndarray:
-    """Max over non-overlapping cell x cell tiles → (ceil(H/c), ceil(W/c))."""
+    """Max over non-overlapping cell x cell tiles anchored at (0,0)
+    → (ceil(H/c), ceil(W/c)).
+
+    NOTE: reduce_window "SAME" would CENTER its padding, silently shifting
+    the cell grid by pad//2 relative to cell_broadcast/reshape tilings —
+    pad at the end only and use VALID so all cell ops share the same grid.
+    """
+    h, w = x.shape
+    hp = -(-h // cell) * cell
+    wp = -(-w // cell) * cell
+    xpad = jnp.pad(x, ((0, hp - h), (0, wp - w)),
+                   constant_values=-jnp.inf)
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (cell, cell), (cell, cell), "SAME")
+        xpad, -jnp.inf, jax.lax.max, (cell, cell), (cell, cell), "VALID")
 
 
 def cell_broadcast(cells: jnp.ndarray, cell: int, h: int, w: int) -> jnp.ndarray:

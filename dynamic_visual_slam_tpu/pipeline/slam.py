@@ -177,7 +177,10 @@ class SLAMSystem:
             voc = bow.train_vocabulary(
                 np.concatenate([d for d, _ in self._kf_descs]),
                 k=self.config.place.branching,
-                depth=self.config.place.depth, seed=0)
+                depth=self.config.place.depth, seed=0,
+                doc_ids=np.concatenate(
+                    [np.full(len(d), i)
+                     for i, (d, _) in enumerate(self._kf_descs)]))
             self._bow_db = bow.Database(
                 voc, capacity=self.config.place.max_db_entries)
             for d, u in self._kf_descs:

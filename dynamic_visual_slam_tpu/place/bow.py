@@ -83,10 +83,15 @@ def descend(voc: Vocabulary, desc_bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def train_vocabulary(descs: np.ndarray, k: int = 10, depth: int = 3,
-                     seed: int = 0, iters: int = 8) -> Vocabulary:
+                     seed: int = 0, iters: int = 8,
+                     doc_ids: np.ndarray = None) -> Vocabulary:
     """Host-side hierarchical binary k-medians (DBoW2 create() equivalent).
 
     descs: (N, 256) uint8 bits in {0,1}.
+    doc_ids: optional (N,) document (keyframe) index per descriptor — enables
+    DBoW2's TF_IDF weighting idf = log(n_docs / n_docs_containing_word);
+    without it idf falls back to descriptor counts (less discriminative:
+    per-image-common "stop words" keep large weights).
     """
     rng = np.random.default_rng(seed)
     descs = np.asarray(descs, np.uint8)
@@ -113,14 +118,15 @@ def train_vocabulary(descs: np.ndarray, k: int = 10, depth: int = 3,
 
     levels: List[np.ndarray] = []
     valids: List[np.ndarray] = []
-    groups = {0: descs}
+    groups = {0: np.arange(len(descs))}     # descriptor INDICES per node
     n_nodes = 1
     for lvl in range(depth):
         n_next = n_nodes * k
         centers = np.zeros((n_next, 256), np.uint8)
         valid = np.zeros(n_next, bool)
         next_groups = {}
-        for node, data in groups.items():
+        for node, idxs in groups.items():
+            data = descs[idxs]
             c, alive = kmedians(data)
             centers[node * k:(node + 1) * k] = c
             valid[node * k:(node + 1) * k] = alive
@@ -129,18 +135,25 @@ def train_vocabulary(descs: np.ndarray, k: int = 10, depth: int = 3,
                 d[:, ~alive] = 1 << 20
                 a = d.argmin(1)
                 for ci in range(k):
-                    next_groups[node * k + ci] = data[a == ci]
+                    next_groups[node * k + ci] = idxs[a == ci]
         levels.append(centers)
         valids.append(valid)
         groups = next_groups
         n_nodes = n_next
 
-    # idf weights over the training set (DBoW2 TF_IDF weighting)
+    # idf weights (DBoW2 TF_IDF): over DOCUMENTS when doc_ids given, else
+    # over descriptors
     n_words = n_nodes
     counts = np.zeros(n_words)
-    for node, data in groups.items():
-        counts[node] = len(data)
-    n_docs = max(len(descs), 1)
+    if doc_ids is not None:
+        doc_ids = np.asarray(doc_ids)
+        n_docs = max(len(np.unique(doc_ids)), 1)
+        for node, idxs in groups.items():
+            counts[node] = len(np.unique(doc_ids[idxs]))
+    else:
+        n_docs = max(len(descs), 1)
+        for node, idxs in groups.items():
+            counts[node] = len(idxs)
     idf = np.log(n_docs / np.maximum(counts, 1.0))
     idf[counts == 0] = 0.0
     # leaves of dead branches never win the argmin; weight 1 elsewhere keeps
@@ -179,6 +192,7 @@ def load_orbvoc_text(path: str) -> Vocabulary:
     # node ids in file order; parent=0 is root. Track (level, slot) per id.
     pos = {0: (-1, 0)}
     child_count = {0: 0}
+    shallow_leaves = []
     for i, (parent, is_leaf, bits, w) in enumerate(nodes, start=1):
         pl, pslot = pos[parent]
         lvl = pl + 1
@@ -190,6 +204,19 @@ def load_orbvoc_text(path: str) -> Vocabulary:
         valids[lvl][slot] = True
         if lvl == depth - 1:
             weights[slot] = w
+        elif is_leaf:
+            shallow_leaves.append((lvl, slot, bits, w))
+    # DBoW2 vocabularies are unbalanced: leaves exist above the bottom level
+    # (size-1 clusters stop splitting).  Propagate each shallow leaf down as
+    # a single-child chain so descend() lands on a real weighted word instead
+    # of walking an all-invalid branch.
+    for lvl, slot, bits, w in shallow_leaves:
+        s = slot
+        for l2 in range(lvl + 1, depth):
+            s = s * k
+            levels[l2][s] = bits
+            valids[l2][s] = True
+        weights[s] = w
     return Vocabulary(k=k, depth=depth,
                       levels=[jnp.asarray(l) for l in levels],
                       valid=[jnp.asarray(v) for v in valids],

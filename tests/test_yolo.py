@@ -37,7 +37,7 @@ class TestArchitecture:
             box = box.at[..., 2].set(20.0)       # all sides = bin 2
             cls = jnp.full((1, h, w, 80), -10.0)
             stride_outs.append((box.reshape(1, h, w, -1), cls))
-        boxes, scores = yolov8.decode(stride_outs, 640)
+        boxes, scores = yolov8.decode(stride_outs)
         b0 = np.asarray(boxes[0])                # first anchor of stride 8
         np.testing.assert_allclose(b0, [(0.5 - 2) * 8, (0.5 - 2) * 8,
                                         (0.5 + 2) * 8, (0.5 + 2) * 8],
