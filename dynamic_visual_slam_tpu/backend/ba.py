@@ -113,6 +113,19 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
     w_pt_prior = 1.0 / cfg.point_prior_sigma ** 2 \
         if cfg.point_prior_sigma > 0 else 0.0
     wp_diag = jnp.asarray([w_rot] * 3 + [w_trn] * 3, jnp.float32)
+    # observation-count decay (see BAConfig.prior_obs_decay): well-observed
+    # poses/points converge to the prior-free (Ceres) optimum
+    if cfg.prior_obs_decay > 0:
+        n0 = cfg.prior_obs_decay
+        n_obs_pose = jnp.sum(obs_ok, axis=0).astype(jnp.float32)   # (W,)
+        n_obs_pt = jnp.sum(obs_ok, axis=1).astype(jnp.float32)     # (L,)
+        decay_pose = n0 / (n0 + n_obs_pose)                        # (W,)
+        decay_pt = n0 / (n0 + n_obs_pt)                            # (L,)
+    else:
+        decay_pose = jnp.ones(wcap, jnp.float32)
+        decay_pt = jnp.ones(lcap, jnp.float32)
+    wp_pose = wp_diag[None, :] * decay_pose[:, None]               # (W,6)
+    wp_pt = w_pt_prior * decay_pt                                  # (L,)
 
     def prior_residuals(q_cw, t_cw, xyz):
         """Left-multiplicative pose tangents relative to the inits + point
@@ -127,8 +140,8 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
 
     def prior_cost(q_cw, t_cw, xyz):
         rp_pose, rp_pt = prior_residuals(q_cw, t_cw, xyz)
-        return 0.5 * (jnp.sum(rp_pose * rp_pose * wp_diag[None, :])
-                      + w_pt_prior * jnp.sum(rp_pt * rp_pt))
+        return 0.5 * (jnp.sum(rp_pose * rp_pose * wp_pose)
+                      + jnp.sum(wp_pt[:, None] * rp_pt * rp_pt))
 
     def linearize(q_cw, t_cw, xyz):
         r, ok, xc = _residuals(k, q_cw, t_cw, xyz, problem.uv, obs_ok, sigma)
@@ -166,12 +179,12 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
 
         # prior terms (J ≈ I in the tangent): H += diag(w), g += w·r_prior
         rp_pose, rp_pt = prior_residuals(q_cw, t_cw, xyz)
-        u_blk = u_blk + jnp.diag(wp_diag)[None] \
+        u_blk = u_blk + jnp.eye(6)[None] * wp_pose[:, None, :] \
             * gauge_free[:, None, None]
-        v_blk = v_blk + w_pt_prior * jnp.eye(3)[None] \
+        v_blk = v_blk + wp_pt[:, None, None] * jnp.eye(3)[None] \
             * problem.lm_active[:, None, None]
-        g_pose = g_pose + wp_diag[None, :] * rp_pose
-        g_pt = g_pt + w_pt_prior * rp_pt
+        g_pose = g_pose + wp_pose * rp_pose
+        g_pt = g_pt + wp_pt[:, None] * rp_pt
 
         # Ceres-style multiplicative damping: J'J + λ·diag(J'J) with the
         # diagonal clamped away from zero — regularizes near-parallax-free

@@ -157,7 +157,18 @@ class BAConfig:
     # properly.  Set sigma <= 0 to disable.
     pose_prior_sigma_rot: float = 0.10   # rad
     pose_prior_sigma_t: float = 0.30     # m
-    point_prior_sigma: float = 0.15      # m  (RealSense depth noise ~1-2%)
+    point_prior_sigma: float = 0.5       # m — deliberately weak: strong
+    # point anchors fight the data along low-parallax depth directions
+    # (measured +3.3 % reprojection cost vs the f64 oracle at 0.15 m;
+    # +0.05 % at 0.5 m, tests/test_ba_oracle.py); basin safety comes from
+    # the POSE priors, points with ≥2 obs are reprojection-constrained
+    # Prior weights decay with in-window observation count:
+    # w_eff = w * n0/(n0 + n_obs).  A keyframe/point seen by many
+    # observations is fully constrained by reprojection and its prior
+    # vanishes (asymptotically unbiased, matching the prior-free Ceres
+    # optimum); a weakly-shared keyframe (the 1 m-jump failure mode the
+    # priors exist for) keeps nearly the full anchor.  0 disables decay.
+    prior_obs_decay: float = 4.0
     # --- TPU capacities ---
     max_observations: int = 4096
 

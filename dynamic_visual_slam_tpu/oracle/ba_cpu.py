@@ -1,0 +1,246 @@
+"""f64 CPU oracle bundle adjustment — the Ceres stand-in.
+
+Solves the exact residual model of `backend/ba.optimize` (which mirrors the
+reference's Ceres problem, bundle_adjustment.hpp:531-565,737-905):
+
+    r_{l,w} = (pi(R_cw_w X_l + t_cw_w) - uv_{l,w}) / sigma        (2-vector)
+    cost    = 0.5 * sum_{l,w} rho_huber(||r_{l,w}||)
+
+with the first pose held constant (gauge, hpp:781-785) and block-wise
+Huber(delta) robustification (hpp:818 — Ceres applies the loss to the
+squared norm of the 2-residual block, not per scalar component).
+
+Solver: scipy.optimize.least_squares (TRF, f64, analytic Jacobian via the
+SO(3) right-Jacobian chain rule) wrapped in an IRLS loop for the block
+Huber loss — scipy's own
+`loss=` is per-scalar, which is NOT the Ceres semantics, so instead each
+outer iteration solves the w-weighted L2 problem with weights
+w = min(1, delta/||r||) frozen from the previous iterate; the IRLS fixed
+point is the exact robust optimum.
+
+This module is validation-only: f64 numpy/scipy, no jax, never on the TPU
+path. Used by tests/test_ba_oracle.py and the trajectory-parity harness.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+from scipy.optimize import least_squares
+from scipy.spatial.transform import Rotation
+
+
+def _skew(v: np.ndarray) -> np.ndarray:
+    """(...,3) -> (...,3,3) cross-product matrices."""
+    z = np.zeros_like(v[..., 0])
+    return np.stack([
+        np.stack([z, -v[..., 2], v[..., 1]], -1),
+        np.stack([v[..., 2], z, -v[..., 0]], -1),
+        np.stack([-v[..., 1], v[..., 0], z], -1)], -2)
+
+
+def _so3_right_jacobian(v: np.ndarray) -> np.ndarray:
+    """Jr(v) (W,3,3): Exp(v + d) ≈ Exp(v) Exp(Jr(v) d)."""
+    th = np.linalg.norm(v, axis=-1)
+    th2 = np.maximum(th * th, 1e-300)
+    a = np.where(th < 1e-6, 0.5 - th2 / 24.0, (1.0 - np.cos(th)) / th2)
+    b = np.where(th < 1e-6, 1.0 / 6.0 - th2 / 120.0,
+                 (th - np.sin(th)) / (th2 * np.maximum(th, 1e-300)))
+    sk = _skew(v)
+    eye = np.broadcast_to(np.eye(3), sk.shape)
+    return eye - a[..., None, None] * sk \
+        + b[..., None, None] * (sk @ sk)
+
+
+class OracleResult(NamedTuple):
+    q_wc: np.ndarray    # (W, 4) optimized camera-to-world quaternions (w,x,y,z)
+    t_wc: np.ndarray    # (W, 3)
+    xyz: np.ndarray     # (L, 3)
+    cost: float         # robust block-Huber cost (Ceres convention, x0.5)
+    n_irls: int
+
+
+def block_huber_cost(r: np.ndarray, valid: np.ndarray, delta: float) -> float:
+    """0.5 * sum rho(||r_block||) over valid (L, W) blocks; r is (L, W, 2)."""
+    n2 = np.sum(r * r, axis=-1)
+    n = np.sqrt(np.maximum(n2, 0.0))
+    rho = np.where(n <= delta, n2, 2.0 * delta * n - delta * delta)
+    return 0.5 * float(np.sum(np.where(valid, rho, 0.0)))
+
+
+def _project(rvecs, ts, xyz, fx, fy, cx, cy):
+    """rvecs/ts: (W,3) world->camera. Returns uv_hat (L, W, 2), z (L, W)."""
+    rm = Rotation.from_rotvec(rvecs).as_matrix()          # (W, 3, 3)
+    xc = np.einsum("wij,lj->lwi", rm, xyz) + ts[None]     # (L, W, 3)
+    z = xc[..., 2]
+    zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
+    u = fx * xc[..., 0] / zs + cx
+    v = fy * xc[..., 1] / zs + cy
+    return np.stack([u, v], axis=-1), z
+
+
+def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
+          uv: np.ndarray, valid: np.ndarray,
+          fx: float, fy: float, cx: float, cy: float,
+          sigma: float = 1.0, huber_delta: float = 1.345,
+          irls_iters: int = 30, xtol: float = 1e-12,
+          max_nfev: Optional[int] = None) -> OracleResult:
+    """Inputs mirror BAProblem: camera-to-world poses (quaternion wxyz — the
+    package's lie.py convention + t), points, dense (L, W, 2) pixel grid
+    with (L, W) validity."""
+    w_n = q_wc.shape[0]
+    l_n = xyz.shape[0]
+    # camera-to-world -> world-to-camera, rotvec parametrization, f64
+    # (scipy quaternions are xyzw: roll from the package's wxyz)
+    r_wc = Rotation.from_quat(np.roll(np.asarray(q_wc, np.float64), -1,
+                                      axis=-1))
+    r_cw = r_wc.inv()
+    rvec0 = r_cw.as_rotvec()                              # (W, 3)
+    tcw0 = -r_cw.apply(np.asarray(t_wc, np.float64))      # (W, 3)
+    x0 = np.asarray(xyz, np.float64).copy()
+    uv = np.asarray(uv, np.float64)
+    valid = np.asarray(valid, bool)
+    # NOTE on the behind-camera guard (hpp:545-563): the reference zeroes
+    # residuals at z <= 0.1, which makes "everything behind the camera" a
+    # degenerate zero-cost global optimum. Ceres' trust region never jumps
+    # there from a sane init, but scipy TRF will. The oracle therefore
+    # optimizes the UNGUARDED smooth problem (exploding residuals near
+    # z -> 0 act as a barrier) and asserts all depths are valid at the
+    # solution — on such solutions the guarded and unguarded problems are
+    # identical, so the comparison against the guarded TPU solver is exact.
+
+    li, wi = np.nonzero(valid)                            # flattened obs list
+    n_obs = li.size
+
+    def unpack(p):
+        rv = np.concatenate([rvec0[:1], p[: (w_n - 1) * 3].reshape(-1, 3)])
+        tc = np.concatenate([tcw0[:1],
+                             p[(w_n - 1) * 3: (w_n - 1) * 6].reshape(-1, 3)])
+        pts = p[(w_n - 1) * 6:].reshape(-1, 3)
+        return rv, tc, pts
+
+    def pack(rv, tc, pts):
+        return np.concatenate([rv[1:].ravel(), tc[1:].ravel(), pts.ravel()])
+
+    def residual_blocks(p, guard: bool = False):
+        rv, tc, pts = unpack(p)
+        uv_hat, z = _project(rv, tc, pts, fx, fy, cx, cy)
+        r = (uv_hat - uv) / sigma                         # (L, W, 2)
+        ok = valid & (z > 0.1) if guard else valid
+        return np.where(ok[..., None], r, 0.0), ok
+
+    n_params = (w_n - 1) * 6 + l_n * 3
+
+    def jac_weighted(pv, sw):
+        """Analytic dense Jacobian of the sw-weighted flattened residuals."""
+        rv, tc, pts = unpack(pv)
+        rm = Rotation.from_rotvec(rv).as_matrix()             # (W,3,3)
+        xc = np.einsum("wij,lj->lwi", rm, pts) + tc[None]     # (L,W,3)
+        z = xc[..., 2]
+        ok = valid
+        iz = 1.0 / np.where(np.abs(z) < 1e-12, 1e-12, z)
+        jp = np.zeros((l_n, w_n, 2, 3))
+        jp[..., 0, 0] = fx * iz
+        jp[..., 0, 2] = -fx * xc[..., 0] * iz * iz
+        jp[..., 1, 1] = fy * iz
+        jp[..., 1, 2] = -fy * xc[..., 1] * iz * iz
+        jp *= (np.where(ok, sw, 0.0) / sigma)[..., None, None]
+        # d xc / d rotvec = -R [X]x Jr(rv)  (Exp(v+d) = Exp(v)Exp(Jr d))
+        jr = _so3_right_jacobian(rv)                          # (W,3,3)
+        dxc_drv = np.einsum("wij,ljk,wkm->lwim",
+                            rm, -_skew(pts), jr)              # (L,W,3,3)
+        j_rot = np.einsum("lwri,lwij->lwrj", jp, dxc_drv)     # (L,W,2,3)
+        j_pt = np.einsum("lwri,wij->lwrj", jp, rm)            # (L,W,2,3)
+        jac = np.zeros((n_obs * 2, n_params))
+        t_base = (w_n - 1) * 3
+        p_base = (w_n - 1) * 6
+        for o in range(n_obs):
+            l, w = li[o], wi[o]
+            if w > 0:
+                jac[2 * o: 2 * o + 2, (w - 1) * 3: w * 3] = j_rot[l, w]
+                jac[2 * o: 2 * o + 2,
+                    t_base + (w - 1) * 3: t_base + w * 3] = jp[l, w]
+            jac[2 * o: 2 * o + 2,
+                p_base + 3 * l: p_base + 3 * l + 3] = j_pt[l, w]
+        return jac
+
+    # reference scale for gauge renormalization: scaling points and camera
+    # centers about the FIXED first camera center is an exact symmetry of
+    # the cost; renormalizing each iterate keeps TRF from wandering down
+    # that flat valley (observed drifts of 70x otherwise)
+    c0 = -Rotation.from_rotvec(rvec0[0]).inv().apply(tcw0[0])
+    scale_ref = float(np.mean(np.linalg.norm(x0 - c0, axis=1)))
+
+    def renormalize_gauge(p):
+        rv, tc, pts = unpack(p)
+        cur = float(np.mean(np.linalg.norm(pts - c0, axis=1)))
+        s = scale_ref / max(cur, 1e-30)
+        pts2 = c0 + s * (pts - c0)
+        rm = Rotation.from_rotvec(rv)
+        centers = -rm.inv().apply(tc)          # camera centers in world
+        centers2 = c0 + s * (centers - c0)
+        tc2 = -rm.apply(centers2)
+        return pack(rv, tc2, pts2)
+
+    p = pack(rvec0, tcw0, x0)
+    n_irls = 0
+    w_prev = None
+    for _ in range(max(1, irls_iters)):
+        r, ok = residual_blocks(p)
+        if n_irls == 0:
+            # first iteration: plain L2 from the init (unit weights).
+            # Weights computed at a far-from-optimal init are tiny and
+            # distort the problem enough to reach degenerate basins;
+            # Ceres' corrector+trust-region never does that.
+            w_blk = np.ones_like(r[..., 0])
+        else:
+            nrm = np.linalg.norm(r, axis=-1)
+            w_blk = np.where(nrm <= huber_delta, 1.0,
+                             huber_delta / np.maximum(nrm, 1e-12))
+        sw = np.sqrt(np.where(ok, w_blk, 0.0))            # (L, W)
+
+        def flat_weighted(pv, sw=sw):
+            rr, _ = residual_blocks(pv)
+            return (rr * sw[..., None])[li, wi].ravel()
+
+        unit_weights = bool(np.all(w_blk[ok] >= 1.0 - 1e-12))
+
+        sol = least_squares(flat_weighted, p, jac=lambda pv, sw=sw:
+                            jac_weighted(pv, sw),
+                            method="trf", xtol=xtol, ftol=1e-12, gtol=1e-12,
+                            max_nfev=max_nfev)
+        n_irls += 1
+        converged = np.max(np.abs(sol.x - p)) < 1e-12
+        p = renormalize_gauge(sol.x)
+        r, ok = residual_blocks(p)
+        in_l2 = bool(np.all(np.linalg.norm(r, axis=-1)[ok] <= huber_delta))
+        # exact stop: this iteration solved the TRUE problem (all weights
+        # were 1) and the solution stays in the L2 region — or the iterate
+        # stopped moving (IRLS fixed point of the robust problem) — or the
+        # weights themselves have stabilized
+        nrm2 = np.linalg.norm(r, axis=-1)
+        w_now = np.where(nrm2 <= huber_delta, 1.0,
+                         huber_delta / np.maximum(nrm2, 1e-12))
+        w_stable = w_prev is not None and \
+            float(np.max(np.abs(w_now - w_prev))) < 1e-10
+        w_prev = w_now
+        if (unit_weights and in_l2) or converged or w_stable:
+            break
+
+    rv, tc, pts = unpack(p)
+    # sanity: the unguarded optimum must have valid depths everywhere —
+    # then it equals the guarded (reference-formulation) optimum
+    _, z_fin = _project(rv, tc, pts, fx, fy, cx, cy)
+    if not bool(np.all(z_fin[valid] > 0.1)):
+        raise RuntimeError("oracle solution has behind-camera points; "
+                           "problem too degenerate for oracle comparison")
+    r, ok = residual_blocks(p, guard=True)
+    cost = block_huber_cost(r, ok, huber_delta)
+    r_cw_f = Rotation.from_rotvec(rv)
+    r_wc_f = r_cw_f.inv()
+    q_out = np.roll(r_wc_f.as_quat(), 1, axis=-1)         # xyzw -> wxyz
+    q_out = q_out * np.where(q_out[:, :1] < 0, -1.0, 1.0)
+    t_out = -r_wc_f.apply(tc)
+    return OracleResult(q_wc=q_out, t_wc=t_out, xyz=pts, cost=cost,
+                        n_irls=n_irls)

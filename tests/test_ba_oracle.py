@@ -1,0 +1,130 @@
+"""Ceres-grade oracle validation of the TPU BA solver (VERDICT item 2;
+SURVEY.md §7 step 5 "validate cost trajectories vs Ceres").
+
+The oracle is a f64 scipy TRF solver on the *identical* window problem
+(`oracle/ba_cpu.py`), with the block-Huber robust loss handled by IRLS —
+numerically equivalent to the reference's Ceres setup
+(bundle_adjustment.hpp:737-905, tolerances :839-851). These tests assert
+the f32 TPU solution lands within a fraction of a percent of the f64
+optimum — tight enough to catch a 0.5 % pose regression.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from dynamic_visual_slam_tpu.backend import ba
+from dynamic_visual_slam_tpu.oracle import ba_cpu
+
+from tests.test_ba import CFG, K, make_problem
+
+# prior-free configuration: the oracle solves the exact Ceres problem
+# (no priors), so compare against the solver in the same mode
+CFG_NOPRIOR = dataclasses.replace(
+    CFG.ba, pose_prior_sigma_rot=0.0, pose_prior_sigma_t=0.0,
+    point_prior_sigma=0.0, max_iterations=40)
+
+
+def _solve_both(seed, **kw):
+    problem, gt = make_problem(seed, w=5, l=64, **kw)
+    res = ba.optimize(K, problem, CFG_NOPRIOR)
+    orc = ba_cpu.solve(
+        np.asarray(problem.q_wc), np.asarray(problem.t_wc),
+        np.asarray(problem.xyz), np.asarray(problem.uv),
+        np.asarray(problem.valid),
+        float(K.fx), float(K.fy), float(K.cx), float(K.cy),
+        sigma=CFG.ba.sigma_px, huber_delta=CFG.ba.huber_delta)
+    return problem, res, orc
+
+
+def _gauge_align(res, orc):
+    """Reprojection-only BA with one fixed pose has EXACTLY one gauge DOF:
+    uniform scale about the fixed first camera center (scaling all points
+    and camera centers about it leaves every projection unchanged — the
+    reference's Ceres problem shares this, bundle_adjustment.hpp:781-785).
+    Estimate that single scalar and map the TPU solution into the oracle's
+    gauge; everything else must then match to solver precision."""
+    c0 = orc.t_wc[0]
+    x_est = np.asarray(res.xyz) - c0
+    x_orc = orc.xyz - c0
+    s = float(np.sum(x_est * x_orc) / np.maximum(np.sum(x_est * x_est),
+                                                 1e-30))
+    xyz_al = s * x_est + c0
+    t_al = s * (np.asarray(res.t_wc) - c0) + c0
+    return s, xyz_al, t_al
+
+
+def _pose_diff(res, orc):
+    _, _, t_al = _gauge_align(res, orc)
+    t_diff = np.linalg.norm(t_al - orc.t_wc, axis=1)
+    q_est = np.asarray(res.q_wc)   # rotations are gauge-invariant here
+    dots = np.abs(np.sum(q_est * orc.q_wc, axis=1))
+    ang_deg = 2 * np.degrees(np.arccos(np.clip(dots, -1, 1)))
+    return t_diff, ang_deg
+
+
+class TestBAOracle:
+    def test_matches_f64_oracle_l2(self):
+        """Low noise, no outliers: all residuals in the Huber L2 region, so
+        scipy TRF (f64) finds the exact optimum. The f32 TPU solution must
+        match it to sub-millimeter / hundredth-degree."""
+        problem, res, orc = _solve_both(10, noise_px=0.05, drop_frac=0.2)
+        # cost agreement: evaluate the SAME cost on both solutions
+        assert orc.cost > 0
+        rel = abs(float(res.final_cost) - orc.cost) / orc.cost
+        assert rel < 0.01, (float(res.final_cost), orc.cost)
+        # the TPU solution may not be *below* f64 optimum by more than noise
+        assert float(res.final_cost) > orc.cost * 0.99
+        t_diff, ang_deg = _pose_diff(res, orc)
+        assert t_diff.max() < 1.5e-3, t_diff
+        assert ang_deg.max() < 0.02, ang_deg
+        # landmark agreement (in the oracle's gauge)
+        _, xyz_al, _ = _gauge_align(res, orc)
+        pt_diff = np.linalg.norm(xyz_al - orc.xyz, axis=1)
+        assert np.median(pt_diff) < 1e-3
+        assert pt_diff.max() < 1e-2
+
+    def test_matches_f64_oracle_huber(self):
+        """10 % gross outliers: the robust (block-Huber) optimum, via the
+        oracle's IRLS. Validates the Huber IRLS weights of the TPU solver
+        against an independent f64 formulation."""
+        problem, res, orc = _solve_both(11, noise_px=0.3, outlier_frac=0.10,
+                                        pose_pert=0.005)
+        assert orc.n_irls > 1  # loss actually active
+        rel = abs(float(res.final_cost) - orc.cost) / orc.cost
+        assert rel < 0.01, (float(res.final_cost), orc.cost)
+        t_diff, ang_deg = _pose_diff(res, orc)
+        assert t_diff.max() < 5e-3, t_diff
+        assert ang_deg.max() < 0.05, ang_deg
+
+    def test_default_config_near_oracle(self):
+        """The SHIPPING config (decayed priors on): on a well-observed
+        window the decayed priors must not pull the solution off the
+        prior-free f64 optimum (this is the regression that shipped red in
+        round 1). Noisy small-baseline windows have genuinely flat cost
+        directions (a prior-free solution with BIT-IDENTICAL cost to the
+        oracle can sit cm away in parameter space), so the observable
+        criterion is reprojection-cost parity, not parameter equality."""
+        import dataclasses as dc
+        problem, gt = make_problem(12, w=5, l=64, noise_px=0.2)
+        res = ba.optimize(K, problem, CFG.ba)
+        orc = ba_cpu.solve(
+            np.asarray(problem.q_wc), np.asarray(problem.t_wc),
+            np.asarray(problem.xyz), np.asarray(problem.uv),
+            np.asarray(problem.valid),
+            float(K.fx), float(K.fy), float(K.cx), float(K.cy),
+            sigma=CFG.ba.sigma_px, huber_delta=CFG.ba.huber_delta)
+        # reprojection-only cost of OUR solution: optimize() reports
+        # initial_cost without prior terms (priors are 0 at the inits)
+        import jax.numpy as jnp
+        probe = problem._replace(
+            q_wc=res.q_wc, t_wc=res.t_wc,
+            xyz=res.xyz)
+        probe_res = ba.optimize(K, probe,
+                                dc.replace(CFG.ba, max_iterations=1))
+        repro_cost = float(probe_res.initial_cost)
+        assert repro_cost < orc.cost * 1.01, (repro_cost, orc.cost)
+        # rotations are well-conditioned — those must agree tightly
+        _, ang_deg = _pose_diff(res, orc)
+        assert ang_deg.max() < 0.05, ang_deg
