@@ -1,9 +1,19 @@
 #!/usr/bin/env python
-"""Headline benchmark: 720p RGB-D tracking frames/sec on one TPU chip.
+"""Headline benchmark: the north-star as BASELINE.json defines it —
+720p RGB-D frames through the FULL pipeline (tracking + keyframe mapping +
+8-keyframe-window BA at its 2 s cadence) on one TPU chip, plus the
+supporting numbers (tracking-only FPS, BA solves/sec).
 
 Reference baseline: 30 FPS real-time at 1280x720 on CPU (README.md:123,235);
-rebuild north-star: >=60 FPS (BASELINE.json).  Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}.
+rebuild north-star: >=60 FPS with 8-KF-window BA (BASELINE.json). Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline", "extra": {...}}.
+
+BA cadence note: the reference fires BA on a 2 s wall timer against a 30 FPS
+camera (backend.cpp:207-209), i.e. every 60 input frames. The bench feeds
+synthetic timestamps at 30 FPS input spacing so the pipeline does the same
+BA work per input frame regardless of how fast the chip chews through them.
+Place recognition is off — matching the reference, which links DBoW2 but
+never calls it (SURVEY.md C7).
 """
 
 import json
@@ -30,44 +40,106 @@ def main() -> None:
             time.sleep(20.0)
 
 
+def _tracking_only_fps(cfg, frames) -> float:
+    import jax.numpy as jnp
+
+    from dynamic_visual_slam_tpu.frontend import tracker
+
+    step = tracker.make_jitted_step(cfg)
+    state = tracker.init_state(cfg)
+    for i in range(2):
+        state, out = step(state, *frames[i])
+    out.q_wc.block_until_ready()
+
+    n_timed = 50
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        g, d, _ = frames[2 + (i % 4)]
+        state, out = step(state, g, d,
+                          jnp.asarray(2.0 + i / 30.0, jnp.float32))
+    out.q_wc.block_until_ready()
+    return n_timed / (time.perf_counter() - t0)
+
+
 def _run() -> None:
     import jax
     import jax.numpy as jnp
 
     from dynamic_visual_slam_tpu.config import SLAMConfig
-    from dynamic_visual_slam_tpu.frontend import tracker
     from dynamic_visual_slam_tpu.io import synthetic
+    from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
 
-    cfg = SLAMConfig()  # 1280x720 default camera
-    step = tracker.make_jitted_step(cfg)
-    state = tracker.init_state(cfg)
-
-    # a short synthetic 720p sequence; frames cycled during timing
+    cfg = SLAMConfig()  # 1280x720 default camera, 8-KF BA window
     frames = []
     for gray, depth, _, _, ts in synthetic.generate_sequence(cfg.camera, 6,
                                                              seed=3):
         frames.append((jnp.asarray(gray), jnp.asarray(depth),
                        jnp.asarray(ts, jnp.float32)))
 
-    # warmup: compile + first keyframe handling
-    for i in range(2):
-        state, out = step(state, *frames[i])
-    out.q_wc.block_until_ready()
+    tracking_fps = _tracking_only_fps(cfg, frames)
 
-    n_timed = 30
+    # ---- full pipeline: tracking + mapping + BA at reference cadence ----
+    # frames in the camera's NATIVE formats (8-bit gray, 16UC1 mm depth —
+    # frontend.cpp:1076-1084); conversion happens on device. Microbatched
+    # via process_batch: one upload + one dispatch + one drain per 8 frames
+    # (per-frame RPCs dominate on a remote device otherwise).
+    sys_ = SLAMSystem(cfg, ba_async=True, enable_place_recognition=False)
+    np_frames = [(np.asarray(g, np.float32).astype(np.uint8),
+                  (np.asarray(d) * 1000.0).astype(np.uint16))
+                 for g, d, _ in frames]
+    batch = 8
+
+    def batch_at(i0):
+        gs = np.stack([np_frames[(i0 + j) % len(np_frames)][0]
+                       for j in range(batch)])
+        ds = np.stack([np_frames[(i0 + j) % len(np_frames)][1]
+                       for j in range(batch)])
+        tss = (i0 + np.arange(batch)) / 30.0
+        return gs, ds, tss
+
+    # warmup: compile batch-step/BA/prune paths (feed enough input-time
+    # for >=2 keyframes and >=1 BA trigger)
+    for i0 in range(0, 72, batch):
+        sys_.process_batch(*batch_at(i0))
+    sys_.finalize()
+    assert sys_.stats["ba_runs"] >= 1, "BA never triggered during warmup"
+
+    n_timed = 240
     t0 = time.perf_counter()
-    for i in range(n_timed):
-        g, d, _ = frames[2 + (i % 4)]
-        state, out = step(state, g, d, jnp.asarray(2.0 + i / 30.0, jnp.float32))
-    out.q_wc.block_until_ready()
+    for i0 in range(72, 72 + n_timed, batch):
+        sys_.process_batch(*batch_at(i0))
+    sys_.finalize()   # drain pending frame results
+    # block on the map state so queued BA/insert work is counted
+    jax.block_until_ready(sys_.map_state.landmarks.xyz)
     dt = time.perf_counter() - t0
+    full_fps = n_timed / dt
+    ba_in_window = sys_.stats["ba_runs"]
 
-    fps = n_timed / dt
+    # ---- BA solves/sec on the populated window (dispatch+block timed) ----
+    run_ba = sys_._run_ba
+    state = sys_.map_state
+    state, res = run_ba(state)          # ensure compiled
+    jax.block_until_ready(res.final_cost)
+    n_ba = 10
+    t0 = time.perf_counter()
+    for _ in range(n_ba):
+        state, res = run_ba(state)
+    jax.block_until_ready(res.final_cost)
+    ba_solves_per_s = n_ba / (time.perf_counter() - t0)
+
     print(json.dumps({
-        "metric": "720p RGB-D tracking throughput (1x TPU chip)",
-        "value": round(fps, 2),
+        "metric": "720p RGB-D full-pipeline throughput with 8-KF-window BA "
+                  "(1x TPU chip)",
+        "value": round(full_fps, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+        "vs_baseline": round(full_fps / REFERENCE_FPS, 3),
+        "extra": {
+            "tracking_only_fps": round(tracking_fps, 2),
+            "ba_solves_per_s": round(ba_solves_per_s, 2),
+            "ba_runs_in_timed_window": ba_in_window,
+            "keyframes": sys_.stats["keyframes"],
+            "timed_frames": n_timed,
+        },
     }))
 
 

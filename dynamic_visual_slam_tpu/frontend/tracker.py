@@ -116,7 +116,19 @@ def _select_keyframe_features(cfg: SLAMConfig, kps: Keypoints,
 def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
                depth_m: jnp.ndarray, timestamp: jnp.ndarray
                ) -> Tuple[TrackerState, TrackOutput]:
-    """One frame.  gray: (H,W) float32 [0,255]; depth_m: (H,W) float32 metres."""
+    """One frame.
+
+    gray: (H,W) uint8 or float32 [0,255]; depth_m: (H,W) uint16 MILLIMETRES
+    (the native RealSense 16UC1 format, frontend.cpp:1080) or float32
+    metres. Integer inputs are converted on device — uploading the camera's
+    native 8/16-bit frames is ~4x less host→device traffic than f32.
+    """
+    if gray.dtype != jnp.float32:
+        gray = gray.astype(jnp.float32)
+    if depth_m.dtype == jnp.uint16:
+        depth_m = depth_m.astype(jnp.float32) * 1e-3
+    elif depth_m.dtype != jnp.float32:
+        depth_m = depth_m.astype(jnp.float32)
     k = Intrinsics.from_config(cfg.camera)
     rng, k_fm, k_pnp = jax.random.split(state.rng, 3)
 

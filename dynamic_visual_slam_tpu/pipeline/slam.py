@@ -52,6 +52,14 @@ class SLAMSystem:
 
     config: SLAMConfig
     ba_async: bool = True
+    # Host-sync cadence: device→host result reads happen every N frames
+    # (1 = classic per-frame results). On a tunneled/remote TPU every
+    # completion-wait with in-flight work costs tens of ms, so the frame
+    # loop runs free on device — keyframe insertion is a masked on-device
+    # select (no host branch) — and results drain in batches. FrameResults
+    # therefore lag by up to N-1 frames (available after drain/finalize),
+    # exactly like the reference's decoupled frontend/backend queues.
+    sync_every: int = 1
     # place recognition: build a BoW database of keyframes and surface
     # loop-closure candidates (the reference links DBoW2 as "loop-closure
     # ready" but never calls it, SURVEY.md C7 — here it actually runs)
@@ -70,6 +78,38 @@ class SLAMSystem:
         cfg = self.config
         self._k = Intrinsics.from_config(cfg.camera)
         self._track = tracker.make_jitted_step(cfg)
+        def step_insert(tstate, mstate, gray, depth, ts, det):
+            """Track + conditional keyframe insert as ONE device program —
+            the insert is computed every frame and masked in by
+            out.is_keyframe (a tree select over the arenas), so the host
+            never has to read the keyframe flag synchronously."""
+            tstate, out = tracker.track_step(cfg, tstate, gray, depth, ts)
+            mstate2, _ = mapping.insert_keyframe(cfg, mstate, out.keyframe,
+                                                 det, self._filtered)
+            mstate = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(out.is_keyframe, b, a), mstate,
+                mstate2)
+            return tstate, mstate, out
+
+        self._step_insert = jax.jit(step_insert, donate_argnums=(0, 1))
+
+        def batch_step(tstate, mstate, grays, depths, tss, dets):
+            """Microbatched pipeline: scan B frames through the fused
+            track+insert step in ONE dispatch. One h2d upload + one drain
+            per batch instead of per frame — on remote/tunneled devices the
+            per-RPC latency while the queue is busy dominates the frame
+            loop otherwise (measured: 12 ms device compute, ~60 ms RPC
+            overhead per frame at batch 1)."""
+            def body(carry, x):
+                ts_, ms_ = carry
+                g, d, t, det = x
+                ts_, ms_, out = step_insert(ts_, ms_, g, d, t, det)
+                return (ts_, ms_), out
+            (tstate, mstate), outs = jax.lax.scan(
+                body, (tstate, mstate), (grays, depths, tss, dets))
+            return tstate, mstate, outs
+
+        self._batch_step = jax.jit(batch_step, donate_argnums=(0, 1))
         self._insert = jax.jit(
             lambda s, kf, det: mapping.insert_keyframe(
                 cfg, s, kf, det, self._filtered))
@@ -83,6 +123,8 @@ class SLAMSystem:
         self._t0: Optional[float] = None
         self._last_ba_t: Optional[float] = None
         self._pending_ba = None
+        self._pending_out: List[Tuple[float, Any]] = []
+        self._n_kf_host = 0   # host mirror of keyframes.count (no sync)
         self.trajectory: List[FrameResult] = []
         self.ba_log: List[Dict[str, Any]] = []
         self.loop_candidates: List[Dict[str, Any]] = []
@@ -98,8 +140,14 @@ class SLAMSystem:
 
     # ------------------------------------------------------------------
     def process(self, gray: np.ndarray, depth_m: np.ndarray, timestamp: float,
-                detections: Optional[mapping.Detections] = None) -> FrameResult:
+                detections: Optional[mapping.Detections] = None
+                ) -> Optional[FrameResult]:
         """One RGB-D frame (+ optional synced detections) through the system.
+
+        Returns this frame's FrameResult when sync_every == 1; with a larger
+        sync cadence results drain in batches into self.trajectory and the
+        return value is the newest drained FrameResult (None until the first
+        drain). Call finalize() to flush the tail.
 
         Device code works in SEQUENCE-RELATIVE time: absolute stamps (e.g.
         TUM epoch seconds ~1.3e9, whose f32 ULP is 128 s!) would destroy the
@@ -109,34 +157,72 @@ class SLAMSystem:
             self._t0 = timestamp
         ts_rel = timestamp - self._t0
         det = detections if detections is not None else self._empty_det
-        self.tracker_state, out = self._track(
-            self.tracker_state, jnp.asarray(gray, jnp.float32),
-            jnp.asarray(depth_m, jnp.float32),
-            jnp.asarray(ts_rel, jnp.float32))
 
-        # keyframe → backend insert (device-async; host reads only the flag)
-        is_kf = bool(out.is_keyframe)
-        if is_kf:
-            self.map_state, _ = self._insert(self.map_state, out.keyframe, det)
-            self.stats["keyframes"] += 1
-            if self.enable_place_recognition:
-                self._harvest_loops()   # previous keyframe's checks are done
-                self._place_recognition(out.keyframe, timestamp)
+        # track + masked keyframe insert: one async device dispatch, no host
+        # reads (a tunneled/remote TPU charges tens of ms for any completion
+        # wait with work in flight, so the frame loop must run free)
+        self.tracker_state, self.map_state, out = self._step_insert(
+            self.tracker_state, self.map_state, jnp.asarray(gray),
+            jnp.asarray(depth_m), jnp.asarray(ts_rel, jnp.float32), det)
+        self._pending_out.append((timestamp, out))
 
-        # periodic BA (2 s wall-timer equivalent, backend.cpp:207-209); the
-        # jitted call is dispatched asynchronously, so the device overlaps it
-        # with subsequent tracking steps — the ba_running_-flag concurrency of
-        # the reference without a mutex
+        newest = None
+        if len(self._pending_out) >= max(1, self.sync_every):
+            drained = self._drain_results()
+            newest = drained[-1] if drained else None
+
+        # periodic BA (2 s wall-timer equivalent); dispatched asynchronously
+        # so the device overlaps it with subsequent tracking steps — the
+        # ba_running_-flag concurrency of the reference without a mutex
+        self._ba_tick(ts_rel, timestamp)
+        self.stats["frames"] += 1
+        return newest
+
+    def process_batch(self, grays: np.ndarray, depths: np.ndarray,
+                      timestamps: np.ndarray,
+                      detections: Optional[mapping.Detections] = None
+                      ) -> List[FrameResult]:
+        """B RGB-D frames through the system in ONE device dispatch
+        (lax.scan microbatch) — the throughput mode for offline replay and
+        remote devices, where per-frame RPCs dominate process(). Results
+        lag one batch (the previous batch's FrameResults are returned);
+        finalize() flushes the tail. Detections, if given, must be a
+        Detections pytree stacked with leading dim B."""
+        timestamps = np.asarray(timestamps, np.float64)
+        b = len(timestamps)
+        if self._t0 is None:
+            self._t0 = float(timestamps[0])
+        ts_rel = jnp.asarray(timestamps - self._t0, jnp.float32)
+        if detections is None:
+            det = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (b,) + x.shape),
+                self._empty_det)
+        else:
+            det = detections
+
+        # drain the PREVIOUS batch first (its compute has had a full batch
+        # interval to finish), then dispatch this one — keeps the device fed
+        drained = self._drain_results()
+        self.tracker_state, self.map_state, outs = self._batch_step(
+            self.tracker_state, self.map_state, jnp.asarray(grays),
+            jnp.asarray(depths), ts_rel, det)
+        self._pending_out.append((list(timestamps), outs))
+
+        self._ba_tick(float(timestamps[-1]) - self._t0, timestamps[-1])
+        self.stats["frames"] += b
+        return drained
+
+    def _ba_tick(self, ts_rel: float, timestamp: float) -> None:
+        """Harvest the previous BA and fire a new one if the period has
+        elapsed (the reference's 2 s wall timer, backend.cpp:207-209)."""
         if self._pending_ba is not None:
-            # harvest the previous BA's scalars (it has had a full period to
-            # finish; reading now rarely blocks)
             res, ts = self._pending_ba
             self._record_ba(res, ts)
             self._pending_ba = None
         if self._last_ba_t is None:
             self._last_ba_t = ts_rel
         if (ts_rel - self._last_ba_t >= self.config.ba.period_s
-                and int(self.map_state.keyframes.count) >= 2):
+                and self._n_kf_host >= 2):
             self._last_ba_t = ts_rel
             self.map_state, res = self._run_ba(self.map_state)
             self.map_state = self.map_state._replace(
@@ -148,14 +234,45 @@ class SLAMSystem:
             else:
                 self._record_ba(res, timestamp)
 
+    def _drain_results(self):
+        """Materialize all pending frame outputs (single frames and
+        microbatches) in ONE device-to-host transfer; run the host-side
+        keyframe bookkeeping (stats, place recognition) for the frames
+        that were keyframes."""
+        if not self._pending_out:
+            return []
+        pending, self._pending_out = self._pending_out, []
+        scalars = jax.device_get(
+            [(o.q_wc, o.t_wc, o.tracking_ok, o.is_keyframe, o.n_features,
+              o.n_matches, o.n_inliers) for _, o in pending])
+        drained = []
+        for (ts_entry, out), vals in zip(pending, scalars):
+            if isinstance(ts_entry, list):        # microbatch: leading dim B
+                for j, ts in enumerate(ts_entry):
+                    drained.append(self._emit_frame(
+                        ts, tuple(v[j] for v in vals), out, j))
+            else:
+                drained.append(self._emit_frame(ts_entry, vals, out, None))
+        return drained
+
+    def _emit_frame(self, timestamp, vals, out, batch_idx) -> FrameResult:
+        q_wc, t_wc, t_ok, is_kf, n_feat, n_match, n_inl = vals
+        is_kf = bool(is_kf)
         fr = FrameResult(
-            timestamp=timestamp,
-            q_wc=np.asarray(out.q_wc), t_wc=np.asarray(out.t_wc),
-            tracking_ok=bool(out.tracking_ok), is_keyframe=is_kf,
-            n_features=int(out.n_features), n_matches=int(out.n_matches),
-            n_inliers=int(out.n_inliers))
+            timestamp=timestamp, q_wc=np.asarray(q_wc),
+            t_wc=np.asarray(t_wc), tracking_ok=bool(t_ok),
+            is_keyframe=is_kf, n_features=int(n_feat),
+            n_matches=int(n_match), n_inliers=int(n_inl))
         self.trajectory.append(fr)
-        self.stats["frames"] += 1
+        if is_kf:
+            self.stats["keyframes"] += 1
+            self._n_kf_host += 1
+            if self.enable_place_recognition:
+                kf = out.keyframe if batch_idx is None else \
+                    jax.tree_util.tree_map(lambda a: a[batch_idx],
+                                           out.keyframe)
+                self._harvest_loops()  # previous keyframe's checks done
+                self._place_recognition(kf, timestamp)
         return fr
 
     def _place_recognition(self, kf, timestamp: float) -> None:
@@ -263,8 +380,9 @@ class SLAMSystem:
         self._pending_loops = []
 
     def finalize(self) -> None:
-        """Flush deferred work (pending loop verifications / BA telemetry) —
-        call once after the last frame."""
+        """Flush deferred work (pending frame results / loop verifications /
+        BA telemetry) — call once after the last frame."""
+        self._drain_results()
         if self._pending_ba is not None:
             res, ts = self._pending_ba
             self._record_ba(res, ts)
@@ -306,6 +424,7 @@ class SLAMSystem:
         assert cfg == self.config, "snapshot config mismatch"
         self.tracker_state = ts
         self.map_state = ms
+        self._n_kf_host = int(ms.keyframes.count)
         place_path = path + ".place.npz"
         if os.path.exists(place_path):
             data = np.load(place_path)
