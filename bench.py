@@ -81,13 +81,14 @@ def _run() -> None:
     # ---- full pipeline: tracking + mapping + BA at reference cadence ----
     # frames in the camera's NATIVE formats (8-bit gray, 16UC1 mm depth —
     # frontend.cpp:1076-1084); conversion happens on device. Microbatched
-    # via process_batch: one upload + one dispatch + one drain per 8 frames
-    # (per-frame RPCs dominate on a remote device otherwise).
-    sys_ = SLAMSystem(cfg, ba_async=True, enable_place_recognition=False)
+    # via process_batch (24-frame scan) with drains every 3 batches — the
+    # tunnel charges ~0.1-1 s per device sync, so sync sparingly.
+    sys_ = SLAMSystem(cfg, ba_async=True, enable_place_recognition=False,
+                      sync_every=2)
     np_frames = [(np.asarray(g, np.float32).astype(np.uint8),
                   (np.asarray(d) * 1000.0).astype(np.uint16))
                  for g, d, _ in frames]
-    batch = 8
+    batch = 48
 
     def batch_at(i0):
         gs = np.stack([np_frames[(i0 + j) % len(np_frames)][0]
@@ -99,14 +100,14 @@ def _run() -> None:
 
     # warmup: compile batch-step/BA/prune paths (feed enough input-time
     # for >=2 keyframes and >=1 BA trigger)
-    for i0 in range(0, 72, batch):
+    for i0 in range(0, 144, batch):
         sys_.process_batch(*batch_at(i0))
     sys_.finalize()
     assert sys_.stats["ba_runs"] >= 1, "BA never triggered during warmup"
 
     n_timed = 240
     t0 = time.perf_counter()
-    for i0 in range(72, 72 + n_timed, batch):
+    for i0 in range(144, 144 + n_timed, batch):
         sys_.process_batch(*batch_at(i0))
     sys_.finalize()   # drain pending frame results
     # block on the map state so queued BA/insert work is counted

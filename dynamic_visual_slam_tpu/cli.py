@@ -126,6 +126,66 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """Trajectory-parity harness (BASELINE configs 1-2): run the TPU
+    pipeline AND the CPU oracle pipeline (cv2 ORB + BFMatcher +
+    solvePnPRansac + f64 scipy BA — the reference algorithm on the
+    reference's own libraries) on the SAME frames; report ATE of each
+    against ground truth and against each other."""
+    from dynamic_visual_slam_tpu.io import synthetic, trajectory, tum
+    from dynamic_visual_slam_tpu.oracle.pipeline_cpu import OracleSLAM
+    from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
+
+    cfg = _build_config(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.source == "synthetic":
+        frames = list(synthetic.generate_sequence(
+            cfg.camera, args.frames, seed=args.seed, depth_noise=0.004))
+        gt_t = np.stack([f[3] for f in frames])
+    else:
+        if not os.path.exists(os.path.join(args.source, "rgb.txt")):
+            print(f"error: '{args.source}' is not a TUM RGB-D directory",
+                  file=sys.stderr)
+            return 2
+        ds = tum.TUMDataset(args.source)
+        frames = [(g, d, None, None, ts)
+                  for g, d, ts in ds.frames(limit=args.frames or None)]
+        gt_t = None
+
+    slam = SLAMSystem(cfg, enable_place_recognition=False)
+    for gray, depth, _, _, ts in frames:
+        slam.process(gray, depth, ts)
+    slam.finalize()
+    _, _, tpu_t = slam.frontend_trajectory()
+
+    orc = OracleSLAM(cfg, run_ba=True)
+    for gray, depth, _, _, ts in frames:
+        orc.process(gray, depth, ts)
+    _, _, orc_t = orc.frontend_trajectory()
+
+    report = dict(
+        source=args.source, frames=len(frames),
+        tpu_keyframes=slam.stats["keyframes"],
+        oracle_keyframes=len(orc.keyframes),
+        oracle_ba_rounds=orc.ba_rounds,
+        tpu_vs_oracle_ate_m=round(
+            float(trajectory.ate_rmse(tpu_t, orc_t)), 5))
+    if gt_t is None and hasattr(ds, "gt_positions_at"):
+        stamps = np.asarray([f[4] for f in frames])
+        gt_t = ds.gt_positions_at(stamps)
+    if gt_t is not None:
+        tpu_ate = float(trajectory.ate_rmse(tpu_t, gt_t))
+        orc_ate = float(trajectory.ate_rmse(orc_t, gt_t))
+        report.update(
+            tpu_ate_m=round(tpu_ate, 5), oracle_ate_m=round(orc_ate, 5),
+            ate_ratio=round(tpu_ate / max(orc_ate, 1e-9), 4))
+    with open(os.path.join(args.out_dir, "parity.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
     bench.main()
@@ -165,6 +225,17 @@ def main(argv: Optional[list] = None) -> int:
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    pp = sub.add_parser("parity", help="TPU-vs-CPU-oracle trajectory parity")
+    pp.add_argument("--source", default="synthetic",
+                    help="'synthetic' or a TUM RGB-D directory")
+    pp.add_argument("--preset", default=None)
+    pp.add_argument("--frames", type=int, default=240)
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--width", type=int, default=424)
+    pp.add_argument("--height", type=int, default=240)
+    pp.add_argument("--out-dir", default="parity_out")
+    pp.set_defaults(fn=cmd_parity)
 
     pi = sub.add_parser("info", help="print the resolved config")
     pi.add_argument("--preset", default=None)

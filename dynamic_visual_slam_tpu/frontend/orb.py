@@ -297,15 +297,16 @@ def extract(img: jnp.ndarray, cfg: ORBConfig) -> Keypoints:
     quotas = features_per_level(cfg)
 
     from dynamic_visual_slam_tpu.ops import descriptors as desc_k
-    from dynamic_visual_slam_tpu.ops.fields import frontend_fields
+    from dynamic_visual_slam_tpu.ops.fields import frontend_fields_atlas
 
+    all_fields = frontend_fields_atlas(list(levels))   # ONE fused call
     parts = []
     blurred_padded = []
     row_offsets = []
     row = 0
     max_w = levels[0].shape[1] + 2 * SAMPLE_PAD
     for lvl, (img_l, quota) in enumerate(zip(levels, quotas)):
-        score, m10, m01 = frontend_fields(img_l)
+        score, m10, m01 = all_fields[lvl]
         ys, xs, resp = detect_level(score, quota, float(cfg.ini_th_fast),
                                     float(cfg.min_th_fast))
         valid = resp > 0

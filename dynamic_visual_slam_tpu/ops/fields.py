@@ -163,3 +163,151 @@ def frontend_fields(img: jnp.ndarray
     score = corner_score(img)
     m10, m01 = moment_maps(img)
     return score, m10, m01
+
+
+def _fields_kernel_body(tile_rows, halo, w, wp, n_tiles):
+    """Shared Pallas kernel body (see frontend_fields_pallas docstring).
+
+    Perf notes (v5e, measured):
+    - DMA is double-buffered: tile i+1 streams into the other scratch slot
+      while tile i computes (the serial start/wait version was
+      latency-bound at ~107 grid steps for the 8-level atlas);
+    - prefix sums stay as log-shift adds: an MXU ones-triangular matmul
+      variant OOMs scoped VMEM (wp x wp operand ~8 MB vs the 16 MB limit)
+      and the double-buffered DMA is the dominant win.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dynamic_visual_slam_tpu.frontend.orb import ic_umax
+
+    umax = ic_umax()
+    vmax = _vmax_table(umax)
+    rows = tile_rows + 2 * HALO
+
+    def start_copy(img_hbm, scratch, sems, tile_idx, slot):
+        return pltpu.make_async_copy(
+            img_hbm.at[pl.ds(tile_idx * tile_rows, rows), :],
+            scratch.at[slot], sems.at[slot])
+
+    def kernel(img_hbm, score_ref, m10_ref, m01_ref, scratch, sems):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i == 0)
+        def _first():
+            start_copy(img_hbm, scratch, sems, 0, 0).start()
+
+        @pl.when(i + 1 < n_tiles)
+        def _prefetch():
+            start_copy(img_hbm, scratch, sems, i + 1,
+                       jax.lax.rem(i + 1, 2)).start()
+
+        start_copy(img_hbm, scratch, sems, i, slot).wait()
+        tile = scratch[slot]
+
+        c0 = HALO
+        center = tile[c0:c0 + tile_rows, c0:c0 + w]
+        d = [tile[c0 + dy:c0 + dy + tile_rows, c0 + dx:c0 + dx + w] - center
+             for dy, dx in CIRCLE_DYDX]
+        bright = None
+        dark_neg = None
+        for k in range(16):
+            mn = d[k]
+            mx = d[k]
+            for j in range(1, ARC_LEN):
+                mn = jnp.minimum(mn, d[(k + j) % 16])
+                mx = jnp.maximum(mx, d[(k + j) % 16])
+            bright = mn if bright is None else jnp.maximum(bright, mn)
+            dark_neg = mx if dark_neg is None else jnp.minimum(dark_neg, mx)
+        score_ref[...] = jnp.maximum(bright, -dark_neg)
+
+        p = _prefix_lanes(tile, wp)
+        m01 = jnp.zeros((tile_rows, w), jnp.float32)
+        for dy in range(-HALF_PATCH, HALF_PATCH + 1):
+            if dy == 0:
+                continue
+            u = int(umax[abs(dy)])
+            r0 = c0 + dy
+            sdiff = p[r0:r0 + tile_rows, c0 + u:c0 + u + w] \
+                - p[r0:r0 + tile_rows, c0 - u - 1:c0 - u - 1 + w]
+            m01 = m01 + float(dy) * sdiff
+        m01_ref[...] = m01
+
+        pv = _prefix_rows(tile, rows)
+        m10 = jnp.zeros((tile_rows, w), jnp.float32)
+        for dx in range(1, HALF_PATCH + 1):
+            v = int(vmax[dx])
+            hi = c0 + v
+            lo = c0 - v - 1
+            v_pos = pv[hi:hi + tile_rows, c0 + dx:c0 + dx + w] \
+                - pv[lo:lo + tile_rows, c0 + dx:c0 + dx + w]
+            v_neg = pv[hi:hi + tile_rows, c0 - dx:c0 - dx + w] \
+                - pv[lo:lo + tile_rows, c0 - dx:c0 - dx + w]
+            m10 = m10 + float(dx) * (v_pos - v_neg)
+        m10_ref[...] = m10
+
+    return kernel
+
+
+def frontend_fields_atlas(levels, tile_rows: int = 24):
+    """ALL pyramid levels through ONE fused Pallas call.
+
+    Levels are reflect-padded (HALO) and stacked into a vertical atlas;
+    the kernel computes the three fields over the whole atlas in one grid
+    (per-level pallas_call dispatch overhead dominated the 8-level pyramid:
+    2.7 ms/frame → one call over ~3.4k atlas rows). Returns a list of
+    (score, m10, m01) per level, each (H_l, W_l).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not use_pallas_fields():
+        return [frontend_fields(l) for l in levels]
+
+    w0 = levels[0].shape[1]
+    wp = -(-(w0 + 2 * HALO) // 128) * 128
+    # stack reflect-padded levels at 8-aligned row offsets
+    offs = []
+    row = 0
+    padded_levels = []
+    for img_l in levels:
+        p = jnp.pad(img_l.astype(jnp.float32), HALO, mode="reflect")
+        offs.append(row)
+        padded_levels.append(p)
+        row += -(-p.shape[0] // 8) * 8
+    n_tiles = -(-(row - 2 * HALO) // tile_rows)
+    total_rows = n_tiles * tile_rows + 2 * HALO
+    atlas = jnp.zeros((total_rows, wp), jnp.float32)
+    for off, p in zip(offs, padded_levels):
+        atlas = jax.lax.dynamic_update_slice(atlas, p, (off, 0))
+
+    w_out = wp - 2 * HALO
+    kernel = _fields_kernel_body(tile_rows, HALO, w_out, wp, n_tiles)
+    out_shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, w_out), jnp.float32)
+    spec = pl.BlockSpec((tile_rows, w_out), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    score, m10, m01 = pl.pallas_call(
+        kernel,
+        out_shape=(out_shape, out_shape, out_shape),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(spec, spec, spec),
+        scratch_shapes=[pltpu.VMEM((2, tile_rows + 2 * HALO, wp),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )(atlas)
+    # out row y corresponds to atlas row y+HALO: level l interior starts at
+    # atlas row offs[l]+HALO -> out row offs[l]
+    results = []
+    for off, img_l in zip(offs, levels):
+        h_l, w_l = img_l.shape
+        results.append((score[off:off + h_l, :w_l],
+                        m10[off:off + h_l, :w_l],
+                        m01[off:off + h_l, :w_l]))
+    return results
+
+
+def use_pallas_fields() -> bool:
+    from dynamic_visual_slam_tpu.ops.descriptors import use_pallas
+    return use_pallas()

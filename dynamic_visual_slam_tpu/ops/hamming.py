@@ -21,12 +21,25 @@ from dynamic_visual_slam_tpu.core.containers import masked_argmin
 _BYTE_WEIGHTS = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint8)
 
 
+def _pack_matrix() -> jnp.ndarray:
+    """(256, 32) f32: column b sums bits 8b..8b+7 with LSB-first weights."""
+    import numpy as np
+    w = np.zeros((256, 32), np.float32)
+    for i in range(256):
+        w[i, i // 8] = float(1 << (i % 8))
+    return jnp.asarray(w)
+
+
 def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """(N, 256) {0,1} → (N, 32) uint8, LSB-first within each byte
-    (matches OpenCV's `val |= (t1 < t2) << bit`, ORBextractor.cpp:107-146)."""
-    n = bits.shape[0]
-    b = bits.astype(jnp.uint8).reshape(n, 32, 8)
-    return jnp.sum(b * _BYTE_WEIGHTS[None, None, :], axis=-1, dtype=jnp.uint8)
+    (matches OpenCV's `val |= (t1 < t2) << bit`, ORBextractor.cpp:107-146).
+
+    One f32 matmul on the MXU (exact: byte values <= 255 < 2^24) — the
+    uint8 reshape-multiply-reduce formulation scalarizes on TPU and
+    measured 6.5 ms/frame, ~75 % of the whole extract stage."""
+    packed = jnp.dot(bits.astype(jnp.float32), _pack_matrix(),
+                     preferred_element_type=jnp.float32)
+    return packed.astype(jnp.uint8)
 
 
 def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:

@@ -43,10 +43,12 @@ def _skew(v: np.ndarray) -> np.ndarray:
 def _so3_right_jacobian(v: np.ndarray) -> np.ndarray:
     """Jr(v) (W,3,3): Exp(v + d) ≈ Exp(v) Exp(Jr(v) d)."""
     th = np.linalg.norm(v, axis=-1)
-    th2 = np.maximum(th * th, 1e-300)
-    a = np.where(th < 1e-6, 0.5 - th2 / 24.0, (1.0 - np.cos(th)) / th2)
-    b = np.where(th < 1e-6, 1.0 / 6.0 - th2 / 120.0,
-                 (th - np.sin(th)) / (th2 * np.maximum(th, 1e-300)))
+    th_safe = np.where(th < 1e-6, 1.0, th)     # avoid 0/0 in dead branch
+    th2 = th_safe * th_safe
+    a = np.where(th < 1e-6, 0.5 - th * th / 24.0,
+                 (1.0 - np.cos(th_safe)) / th2)
+    b = np.where(th < 1e-6, 1.0 / 6.0 - th * th / 120.0,
+                 (th_safe - np.sin(th_safe)) / (th2 * th_safe))
     sk = _skew(v)
     eye = np.broadcast_to(np.eye(3), sk.shape)
     return eye - a[..., None, None] * sk \
@@ -59,6 +61,7 @@ class OracleResult(NamedTuple):
     xyz: np.ndarray     # (L, 3)
     cost: float         # robust block-Huber cost (Ceres convention, x0.5)
     n_irls: int
+    ok: bool = True     # False: solution left valid-depth territory
 
 
 def block_huber_cost(r: np.ndarray, valid: np.ndarray, delta: float) -> float:
@@ -85,7 +88,8 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
           fx: float, fy: float, cx: float, cy: float,
           sigma: float = 1.0, huber_delta: float = 1.345,
           irls_iters: int = 30, xtol: float = 1e-12,
-          max_nfev: Optional[int] = None) -> OracleResult:
+          max_nfev: Optional[int] = None,
+          strict: bool = True) -> OracleResult:
     """Inputs mirror BAProblem: camera-to-world poses (quaternion wxyz — the
     package's lie.py convention + t), points, dense (L, W, 2) pixel grid
     with (L, W) validity."""
@@ -232,7 +236,8 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
     # sanity: the unguarded optimum must have valid depths everywhere —
     # then it equals the guarded (reference-formulation) optimum
     _, z_fin = _project(rv, tc, pts, fx, fy, cx, cy)
-    if not bool(np.all(z_fin[valid] > 0.1)):
+    depths_ok = bool(np.all(z_fin[valid] > 0.1))
+    if strict and not depths_ok:
         raise RuntimeError("oracle solution has behind-camera points; "
                            "problem too degenerate for oracle comparison")
     r, ok = residual_blocks(p, guard=True)
@@ -243,4 +248,4 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
     q_out = q_out * np.where(q_out[:, :1] < 0, -1.0, 1.0)
     t_out = -r_wc_f.apply(tc)
     return OracleResult(q_wc=q_out, t_wc=t_out, xyz=pts, cost=cost,
-                        n_irls=n_irls)
+                        n_irls=n_irls, ok=depths_ok)

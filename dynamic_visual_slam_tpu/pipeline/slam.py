@@ -73,6 +73,16 @@ class SLAMSystem:
     # vocabularies especially need it)
     loop_geometric_check: bool = True
     loop_min_inliers: int = 30
+    # Feed BA pose refinements back into the live tracker: the newest
+    # window keyframe's correction T_new∘T_old⁻¹ left-composes onto the
+    # tracker pose (the reference never closes this loop — its frontend
+    # trajectory is pure odometry; here BA actually improves the live ATE)
+    ba_feedback: bool = True
+    # Consume verified loop closures: PnP against the candidate keyframe's
+    # stored 3D points yields the drift correction, distributed over the
+    # keyframe ring (tangent-interpolated by keyframe age) + landmarks +
+    # the live tracker pose
+    loop_correction: bool = True
 
     def __post_init__(self):
         cfg = self.config
@@ -80,16 +90,28 @@ class SLAMSystem:
         self._track = tracker.make_jitted_step(cfg)
         def step_insert(tstate, mstate, gray, depth, ts, det):
             """Track + conditional keyframe insert as ONE device program —
-            the insert is computed every frame and masked in by
-            out.is_keyframe (a tree select over the arenas), so the host
-            never has to read the keyframe flag synchronously."""
+            the insert runs under lax.cond on out.is_keyframe (a real
+            runtime branch: XLA executes the insert only on keyframes,
+            ~1/20 frames, so its ~2.4 ms amortizes to ~0.1 ms/frame), and
+            the host never reads the keyframe flag synchronously. The (12,)
+            f32 telemetry vector packs everything the host reads per frame
+            into ONE d2h transfer: [q_wc(4), t_wc(3), tracking_ok, is_kf,
+            n_features, n_matches, n_inliers]."""
             tstate, out = tracker.track_step(cfg, tstate, gray, depth, ts)
-            mstate2, _ = mapping.insert_keyframe(cfg, mstate, out.keyframe,
-                                                 det, self._filtered)
-            mstate = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(out.is_keyframe, b, a), mstate,
-                mstate2)
-            return tstate, mstate, out
+            mstate = jax.lax.cond(
+                out.is_keyframe,
+                lambda ms: mapping.insert_keyframe(cfg, ms, out.keyframe,
+                                                   det, self._filtered)[0],
+                lambda ms: ms,
+                mstate)
+            telem = jnp.concatenate([
+                out.q_wc, out.t_wc,
+                jnp.stack([out.tracking_ok.astype(jnp.float32),
+                           out.is_keyframe.astype(jnp.float32),
+                           out.n_features.astype(jnp.float32),
+                           out.n_matches.astype(jnp.float32),
+                           out.n_inliers.astype(jnp.float32)])])
+            return tstate, mstate, out, telem
 
         self._step_insert = jax.jit(step_insert, donate_argnums=(0, 1))
 
@@ -103,17 +125,70 @@ class SLAMSystem:
             def body(carry, x):
                 ts_, ms_ = carry
                 g, d, t, det = x
-                ts_, ms_, out = step_insert(ts_, ms_, g, d, t, det)
-                return (ts_, ms_), out
-            (tstate, mstate), outs = jax.lax.scan(
+                ts_, ms_, out, telem = step_insert(ts_, ms_, g, d, t, det)
+                return (ts_, ms_), (out, telem)
+            (tstate, mstate), (outs, telems) = jax.lax.scan(
                 body, (tstate, mstate), (grays, depths, tss, dets))
-            return tstate, mstate, outs
+            return tstate, mstate, outs, telems
 
         self._batch_step = jax.jit(batch_step, donate_argnums=(0, 1))
         self._insert = jax.jit(
             lambda s, kf, det: mapping.insert_keyframe(
                 cfg, s, kf, det, self._filtered))
         self._run_ba = jax.jit(lambda s: ba_mod.run_ba(cfg, self._k, s))
+
+        f_cap = cfg.map.max_keyframes
+
+        def run_ba_fb(mstate, tstate):
+            """BA + tracker feedback: left-compose the newest keyframe's
+            BA correction onto the live tracker pose (identity when the
+            solve was rejected — apply_result leaves poses unchanged)."""
+            new_m, res = ba_mod.run_ba(cfg, self._k, mstate)
+            slot = jnp.mod(mstate.keyframes.next_slot - 1, f_cap)
+            q_oi, t_oi = lie.se3_inverse(mstate.keyframes.q[slot],
+                                         mstate.keyframes.t[slot])
+            q_c, t_c = lie.se3_compose(new_m.keyframes.q[slot],
+                                       new_m.keyframes.t[slot], q_oi, t_oi)
+            tstate = tstate._replace(
+                q_wc=lie.quat_normalize(lie.quat_mul(q_c, tstate.q_wc)),
+                t_wc=lie.quat_rotate(q_c, tstate.t_wc) + t_c)
+            return new_m, tstate, res
+
+        self._run_ba_fb = jax.jit(run_ba_fb)
+
+        def apply_loop(tstate, mstate, q_corr, t_corr, cand_seq, entry_seq):
+            """Distribute a verified loop's drift correction over the
+            keyframe ring (se3-tangent scaled by keyframe age between the
+            loop endpoints), the landmarks (by newest observation), and
+            the live tracker pose (full correction)."""
+            kdb = mstate.keyframes
+            s = jnp.arange(f_cap)
+            newest = kdb.next_slot - 1
+            seq = newest - jnp.mod(newest - s, f_cap)        # per-slot seq
+            span = jnp.maximum(entry_seq - cand_seq, 1).astype(jnp.float32)
+            alpha = jnp.clip((seq - cand_seq).astype(jnp.float32) / span,
+                             0.0, 1.0) * kdb.active
+            phi = lie.so3_log(q_corr)
+            q_a = lie.so3_exp(alpha[:, None] * phi[None])    # (F, 4)
+            t_a = alpha[:, None] * t_corr[None]
+            q_new = lie.quat_normalize(lie.quat_mul(q_a, kdb.q))
+            t_new = lie.quat_rotate(q_a, kdb.t) + t_a
+            act = kdb.active[:, None]
+            kdb = kdb._replace(q=jnp.where(act, q_new, kdb.q),
+                               t=jnp.where(act, t_new, kdb.t))
+            lm = mstate.landmarks
+            lm_seq = jnp.max(jnp.where(lm.obs_valid, lm.obs_kf, -1), axis=1)
+            al = jnp.clip((lm_seq - cand_seq).astype(jnp.float32) / span,
+                          0.0, 1.0) * lm.active
+            q_l = lie.so3_exp(al[:, None] * phi[None])
+            xyz = lie.quat_rotate(q_l, lm.xyz) + al[:, None] * t_corr[None]
+            lm = lm._replace(xyz=jnp.where(lm.active[:, None], xyz, lm.xyz))
+            tstate = tstate._replace(
+                q_wc=lie.quat_normalize(lie.quat_mul(q_corr, tstate.q_wc)),
+                t_wc=lie.quat_rotate(q_corr, tstate.t_wc) + t_corr)
+            return tstate, mstate._replace(keyframes=kdb, landmarks=lm)
+
+        self._apply_loop_fn = jax.jit(apply_loop)
         self._prune = jax.jit(
             lambda lm, now: mapping.prune(cfg, lm, now))
         self._filtered = filtered_mask(cfg)
@@ -122,7 +197,7 @@ class SLAMSystem:
         self._empty_det = mapping.Detections.empty(cfg.semantic.max_detections)
         self._t0: Optional[float] = None
         self._last_ba_t: Optional[float] = None
-        self._pending_ba = None
+        self._pending_ba_results: List[Tuple[Any, float]] = []
         self._pending_out: List[Tuple[float, Any]] = []
         self._n_kf_host = 0   # host mirror of keyframes.count (no sync)
         self.trajectory: List[FrameResult] = []
@@ -161,10 +236,10 @@ class SLAMSystem:
         # track + masked keyframe insert: one async device dispatch, no host
         # reads (a tunneled/remote TPU charges tens of ms for any completion
         # wait with work in flight, so the frame loop must run free)
-        self.tracker_state, self.map_state, out = self._step_insert(
+        self.tracker_state, self.map_state, out, telem = self._step_insert(
             self.tracker_state, self.map_state, jnp.asarray(gray),
             jnp.asarray(depth_m), jnp.asarray(ts_rel, jnp.float32), det)
-        self._pending_out.append((timestamp, out))
+        self._pending_out.append((timestamp, out, telem))
 
         newest = None
         if len(self._pending_out) >= max(1, self.sync_every):
@@ -200,37 +275,43 @@ class SLAMSystem:
         else:
             det = detections
 
-        # drain the PREVIOUS batch first (its compute has had a full batch
-        # interval to finish), then dispatch this one — keeps the device fed
-        drained = self._drain_results()
-        self.tracker_state, self.map_state, outs = self._batch_step(
+        # drain previous batches on the sync_every cadence (in units of
+        # pending batches): each drain is a device sync, which a tunneled
+        # TPU charges dearly — draining every few batches amortizes it
+        drained = []
+        if len(self._pending_out) >= max(1, self.sync_every):
+            drained = self._drain_results()
+        self.tracker_state, self.map_state, outs, telems = self._batch_step(
             self.tracker_state, self.map_state, jnp.asarray(grays),
             jnp.asarray(depths), ts_rel, det)
-        self._pending_out.append((list(timestamps), outs))
+        self._pending_out.append((list(timestamps), outs, telems))
 
         self._ba_tick(float(timestamps[-1]) - self._t0, timestamps[-1])
         self.stats["frames"] += b
         return drained
 
     def _ba_tick(self, ts_rel: float, timestamp: float) -> None:
-        """Harvest the previous BA and fire a new one if the period has
-        elapsed (the reference's 2 s wall timer, backend.cpp:207-209)."""
-        if self._pending_ba is not None:
-            res, ts = self._pending_ba
-            self._record_ba(res, ts)
-            self._pending_ba = None
+        """Fire a BA round if the period has elapsed (the reference's 2 s
+        wall timer, backend.cpp:207-209). In async mode the result scalars
+        are NOT read here — materializing them is a device sync that costs
+        up to a second on a tunneled TPU; telemetry accumulates on device
+        and drains at finalize()."""
         if self._last_ba_t is None:
             self._last_ba_t = ts_rel
         if (ts_rel - self._last_ba_t >= self.config.ba.period_s
                 and self._n_kf_host >= 2):
             self._last_ba_t = ts_rel
-            self.map_state, res = self._run_ba(self.map_state)
+            if self.ba_feedback:
+                self.map_state, self.tracker_state, res = self._run_ba_fb(
+                    self.map_state, self.tracker_state)
+            else:
+                self.map_state, res = self._run_ba(self.map_state)
             self.map_state = self.map_state._replace(
                 landmarks=self._prune(self.map_state.landmarks,
                                       jnp.asarray(ts_rel, jnp.float32)))
             self.stats["ba_runs"] += 1
             if self.ba_async:
-                self._pending_ba = (res, timestamp)
+                self._pending_ba_results.append((res, timestamp))
             else:
                 self._record_ba(res, timestamp)
 
@@ -242,21 +323,21 @@ class SLAMSystem:
         if not self._pending_out:
             return []
         pending, self._pending_out = self._pending_out, []
-        scalars = jax.device_get(
-            [(o.q_wc, o.t_wc, o.tracking_ok, o.is_keyframe, o.n_features,
-              o.n_matches, o.n_inliers) for _, o in pending])
+        # ONE d2h transfer: the packed (12,) / (B,12) telemetry arrays
+        telems = jax.device_get([t for _, _, t in pending])
         drained = []
-        for (ts_entry, out), vals in zip(pending, scalars):
+        for (ts_entry, out, _), telem in zip(pending, telems):
             if isinstance(ts_entry, list):        # microbatch: leading dim B
                 for j, ts in enumerate(ts_entry):
-                    drained.append(self._emit_frame(
-                        ts, tuple(v[j] for v in vals), out, j))
+                    drained.append(self._emit_frame(ts, telem[j], out, j))
             else:
-                drained.append(self._emit_frame(ts_entry, vals, out, None))
+                drained.append(self._emit_frame(ts_entry, telem, out, None))
         return drained
 
-    def _emit_frame(self, timestamp, vals, out, batch_idx) -> FrameResult:
-        q_wc, t_wc, t_ok, is_kf, n_feat, n_match, n_inl = vals
+    def _emit_frame(self, timestamp, telem, out, batch_idx) -> FrameResult:
+        q_wc, t_wc = telem[0:4], telem[4:7]
+        t_ok, is_kf = telem[7] > 0.5, telem[8] > 0.5
+        n_feat, n_match, n_inl = telem[9], telem[10], telem[11]
         is_kf = bool(is_kf)
         fr = FrameResult(
             timestamp=timestamp, q_wc=np.asarray(q_wc),
@@ -287,27 +368,29 @@ class SLAMSystem:
         m = np.asarray(kf.mask)
         desc = np.asarray(kf.desc_bits)[m]
         uv = np.asarray(kf.uv)[m]
+        xyz = np.asarray(kf.xyz_w)[m]
+        pose = (np.asarray(kf.q_wc), np.asarray(kf.t_wc))
         if self._bow_db is None:
-            self._kf_descs.append((desc, uv))
+            self._kf_descs.append((desc, uv, xyz, pose))
             if len(self._kf_descs) < self.vocab_train_keyframes:
                 return
             voc = bow.train_vocabulary(
-                np.concatenate([d for d, _ in self._kf_descs]),
+                np.concatenate([d for d, _, _, _ in self._kf_descs]),
                 k=self.config.place.branching,
                 depth=self.config.place.depth, seed=0,
                 doc_ids=np.concatenate(
                     [np.full(len(d), i)
-                     for i, (d, _) in enumerate(self._kf_descs)]))
+                     for i, (d, _, _, _) in enumerate(self._kf_descs)]))
             self._bow_db = bow.Database(
                 voc, capacity=self.config.place.max_db_entries)
-            for d, u in self._kf_descs:
+            for d, u, x, po in self._kf_descs:
                 slot = self._bow_db.add(jnp.asarray(d))
-                self._store_kf(slot, d, u)
+                self._store_kf(slot, d, u, x, po)
             self._kf_descs = []
             return
         res = self._bow_db.query(jnp.asarray(desc), top_k=3)
         entry = self._bow_db.add(jnp.asarray(desc))
-        entry_seq = self._store_kf(entry, desc, uv)
+        entry_seq = self._store_kf(entry, desc, uv, xyz, pose)
         for i in range(3):
             if not bool(res.valid[i]):
                 continue
@@ -320,28 +403,38 @@ class SLAMSystem:
             rec = dict(keyframe=entry_seq, candidate=cand_seq,
                        score=round(score, 4), timestamp=timestamp)
             if self.loop_geometric_check:
-                # async dispatch; the scalar is harvested next keyframe (the
+                # async dispatch; results are harvested next keyframe (the
                 # BA _pending pattern) so the frame loop never blocks here
-                inl = self._dispatch_verify(entry, cand)
-                self._pending_loops.append((rec, inl))
+                verdict = self._dispatch_verify(entry, cand)
+                self._pending_loops.append(
+                    (rec, verdict, self._kf_store[cand][0], entry_seq))
             else:
                 self.loop_candidates.append(rec)
                 self.stats["loop_candidates"] += 1
             break
 
-    def _store_kf(self, slot: int, desc: np.ndarray, uv: np.ndarray) -> int:
+    def _store_kf(self, slot: int, desc: np.ndarray, uv: np.ndarray,
+                  xyz: np.ndarray = None, pose=None) -> int:
         """Cache the keyframe's padded DEVICE arrays under its DB slot
         (uploaded once; reused by every later verification)."""
         cap = self.config.map.max_obs_per_keyframe
         n = min(len(desc), cap)
         dd = np.zeros((cap, 256), np.uint8)
         uu = np.zeros((cap, 2), np.float32)
+        xx = np.zeros((cap, 3), np.float32)
         dd[:n] = desc[:n]
         uu[:n] = uv[:n]
+        if xyz is not None:
+            xx[:n] = xyz[:n]
+        if pose is None:
+            pose = (np.asarray([1., 0., 0., 0.], np.float32),
+                    np.zeros(3, np.float32))
         seq = self._kf_seq
         self._kf_seq += 1
         self._kf_store[slot] = (seq, jnp.asarray(dd), jnp.asarray(uu),
-                                jnp.arange(cap) < n)
+                                jnp.arange(cap) < n, jnp.asarray(xx),
+                                jnp.asarray(pose[0], jnp.float32),
+                                jnp.asarray(pose[1], jnp.float32))
         return seq
 
     def _dispatch_verify(self, entry: int, cand: int):
@@ -352,8 +445,9 @@ class SLAMSystem:
 
         if self._verify_loop_fn is None:
             cfg = self.config
+            k_intr = self._k
 
-            def fn(d1, uv1, m1, d2, uv2, m2, key):
+            def fn(d1, uv1, m1, q1, t1, d2, uv2, m2, xyz2, key):
                 res = hamming.match(d1, d2, m1, m2,
                                     max_distance=float(cfg.match.max_hamming),
                                     cross_check=True)
@@ -361,32 +455,65 @@ class SLAMSystem:
                     uv2[res.train_idx], uv1, res.valid, key,
                     n_hyp=cfg.ransac.fm_iterations,
                     threshold=cfg.ransac.fm_threshold_px)
-                return jnp.sum((fm.inliers & fm.valid).astype(jnp.int32))
+                fm_ok = fm.inliers & fm.valid
+                n_inl = jnp.sum(fm_ok.astype(jnp.int32))
+                # drift correction: PnP of the CANDIDATE keyframe's stored
+                # world points against the ENTRY keyframe's pixels gives the
+                # entry pose in the candidate's (older, less-drifted) world
+                # frame; T_corr = T_pnp ∘ T_stored⁻¹
+                k2 = jax.random.fold_in(key, 1)
+                pnp = ransac.pnp_ransac(
+                    k_intr, xyz2[res.train_idx], uv1, fm_ok, k2,
+                    n_hyp=cfg.ransac.pnp_iterations,
+                    threshold=cfg.ransac.pnp_threshold_px,
+                    min_inliers=cfg.ransac.min_pnp_matches,
+                    refine_iters=cfg.ransac.refine_iterations)
+                q_pnp_wc, t_pnp_wc = lie.se3_inverse(pnp.q, pnp.t)
+                q_si, t_si = lie.se3_inverse(q1, t1)
+                q_corr, t_corr = lie.se3_compose(q_pnp_wc, t_pnp_wc,
+                                                 q_si, t_si)
+                ok = pnp.valid
+                q_corr = jnp.where(ok, q_corr,
+                                   jnp.asarray([1., 0., 0., 0.]))
+                t_corr = jnp.where(ok, t_corr, jnp.zeros(3))
+                return n_inl, q_corr, t_corr, pnp.n_inliers
 
             self._verify_loop_fn = jax.jit(fn)
 
-        _, d1, uv1, m1 = self._kf_store[entry]
-        _, d2, uv2, m2 = self._kf_store[cand]
+        _, d1, uv1, m1, _, q1, t1 = self._kf_store[entry]
+        _, d2, uv2, m2, xyz2, _, _ = self._kf_store[cand]
         key = jax.random.key(entry * 9973 + cand)
-        return self._verify_loop_fn(d1, uv1, m1, d2, uv2, m2, key)
+        return self._verify_loop_fn(d1, uv1, m1, q1, t1, d2, uv2, m2, xyz2,
+                                    key)
 
     def _harvest_loops(self) -> None:
-        for rec, inl in self._pending_loops:
-            n_inl = int(inl)
+        for rec, verdict, cand_seq, entry_seq in self._pending_loops:
+            n_inl, q_corr, t_corr, pnp_inl = verdict
+            n_inl = int(n_inl)
             rec["inliers"] = n_inl
+            rec["pnp_inliers"] = int(pnp_inl)
             if n_inl >= self.loop_min_inliers:
                 self.loop_candidates.append(rec)
                 self.stats["loop_candidates"] += 1
+                if self.loop_correction and \
+                        int(pnp_inl) >= self.config.ransac.min_pnp_matches:
+                    self.tracker_state, self.map_state = \
+                        self._apply_loop_fn(
+                            self.tracker_state, self.map_state, q_corr,
+                            t_corr, jnp.asarray(cand_seq, jnp.int32),
+                            jnp.asarray(entry_seq, jnp.int32))
+                    rec["applied"] = True
+                    self.stats["loops_applied"] = \
+                        self.stats.get("loops_applied", 0) + 1
         self._pending_loops = []
 
     def finalize(self) -> None:
         """Flush deferred work (pending frame results / loop verifications /
         BA telemetry) — call once after the last frame."""
         self._drain_results()
-        if self._pending_ba is not None:
-            res, ts = self._pending_ba
+        for res, ts in self._pending_ba_results:
             self._record_ba(res, ts)
-            self._pending_ba = None
+        self._pending_ba_results = []
         self._harvest_loops()
 
     # ------------------------------------------------------------------
@@ -407,11 +534,14 @@ class SLAMSystem:
                                              self._bow_db.vocabulary.valid)):
                 extra[f"voc_level_{l}"] = np.asarray(lv)
                 extra[f"voc_valid_{l}"] = np.asarray(va)
-            for slot, (seq, d, uv, m) in self._kf_store.items():
+            for slot, (seq, d, uv, m, xyz, q, t) in self._kf_store.items():
                 extra[f"kf_{slot}_seq"] = np.asarray(seq)
                 extra[f"kf_{slot}_desc"] = np.asarray(d)
                 extra[f"kf_{slot}_uv"] = np.asarray(uv)
                 extra[f"kf_{slot}_mask"] = np.asarray(m)
+                extra[f"kf_{slot}_xyz"] = np.asarray(xyz)
+                extra[f"kf_{slot}_q"] = np.asarray(q)
+                extra[f"kf_{slot}_t"] = np.asarray(t)
             np.savez_compressed(path + ".place", **extra)
 
     def restore(self, path: str) -> None:
@@ -445,11 +575,22 @@ class SLAMSystem:
             for key in data.files:
                 if key.endswith("_seq") and key.startswith("kf_"):
                     slot = int(key.split("_")[1])
+                    cap = self.config.map.max_obs_per_keyframe
+                    xyz = data[f"kf_{slot}_xyz"] \
+                        if f"kf_{slot}_xyz" in data.files \
+                        else np.zeros((cap, 3), np.float32)
                     self._kf_store[slot] = (
                         int(data[key]),
                         jnp.asarray(data[f"kf_{slot}_desc"]),
                         jnp.asarray(data[f"kf_{slot}_uv"]),
-                        jnp.asarray(data[f"kf_{slot}_mask"]))
+                        jnp.asarray(data[f"kf_{slot}_mask"]),
+                        jnp.asarray(xyz),
+                        jnp.asarray(data[f"kf_{slot}_q"])
+                        if f"kf_{slot}_q" in data.files else
+                        jnp.asarray([1., 0., 0., 0.], jnp.float32),
+                        jnp.asarray(data[f"kf_{slot}_t"])
+                        if f"kf_{slot}_t" in data.files else
+                        jnp.zeros(3, jnp.float32))
 
     def _record_ba(self, res, ts) -> None:
         conv = bool(res.converged)

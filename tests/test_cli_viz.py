@@ -12,6 +12,7 @@ from dynamic_visual_slam_tpu.utils import profiling, viz
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_run_synthetic_writes_outputs(self, tmp_path):
         out = str(tmp_path / "out")
         rc = cli.main(["run", "--frames", "10", "--width", "160",

@@ -141,6 +141,7 @@ class TestOrientationDescriptors:
 
 
 class TestExtractor:
+    @pytest.mark.slow
     def test_full_extract(self, scene):
         cfg = ORBConfig(n_features=500)
         kps = jax.jit(lambda x: orb.extract(x, cfg))(jnp.asarray(scene))

@@ -18,6 +18,7 @@ CFG = SLAMConfig().replace(
 
 
 class TestFleet:
+    @pytest.mark.slow
     def test_eight_streams_step_and_ba(self):
         m = pmesh.make_mesh(8)
         fleet = pmesh.SLAMFleet(CFG, batch=8, mesh=m)
@@ -38,6 +39,7 @@ class TestFleet:
         shards = fleet.tracker_states.t_wc.sharding
         assert len(shards.device_set) == 8
 
+    @pytest.mark.slow
     def test_divergent_streams(self):
         """Different per-stream inputs produce different trajectories."""
         m = pmesh.make_mesh(4)
@@ -54,6 +56,7 @@ class TestFleet:
 
 
 class TestShardedDetector:
+    @pytest.mark.slow
     def test_batched_inference(self):
         from dynamic_visual_slam_tpu.models import yolov8
         m = pmesh.make_mesh(8)
@@ -65,6 +68,7 @@ class TestShardedDetector:
         assert dets.boxes.shape == (8, 32, 4)
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     import __graft_entry__ as ge
     fn, args = ge.entry()

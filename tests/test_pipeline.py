@@ -78,6 +78,7 @@ class TestFullSystem:
 
 
 class TestDetectionsPath:
+    @pytest.mark.slow
     def test_person_region_not_mapped(self):
         cfg = CFG
         slam = SLAMSystem(cfg, ba_async=False)

@@ -14,6 +14,7 @@ CAM = CameraConfig(width=160, height=120, fx=130.0, fy=130.0,
 CFG = SLAMConfig().replace(camera=CAM)
 
 
+@pytest.mark.slow
 def test_save_load_resume(tmp_path):
     frames = list(synthetic.generate_sequence(CAM, 14, seed=7))
     a = SLAMSystem(CFG, ba_async=False, enable_place_recognition=False)
@@ -38,6 +39,7 @@ def test_save_load_resume(tmp_path):
     np.testing.assert_allclose(la["xyz"], lb["xyz"], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_loop_candidates_surface():
     """Place recognition fires when the camera revisits a pose."""
     frames = list(synthetic.generate_sequence(CAM, 6, seed=9))
@@ -69,6 +71,7 @@ def _run_room_tour(geometric: bool):
     return slam
 
 
+@pytest.mark.slow
 def test_loop_geometric_verification_rejects_false_positives():
     """Cross-scene BoW hits (small online vocabularies produce them) must be
     killed by the fundamental-RANSAC check; true revisits must survive."""
@@ -84,6 +87,7 @@ def test_loop_geometric_verification_rejects_false_positives():
         assert c["candidate"] < c["keyframe"] - 2
 
 
+@pytest.mark.slow
 def test_system_save_restore_includes_place_state(tmp_path):
     """SLAMSystem.save/restore round-trips the BoW database so loops against
     pre-snapshot keyframes remain findable (code-review finding)."""

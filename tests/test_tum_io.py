@@ -61,6 +61,7 @@ class TestTUMReader:
         assert pos.shape == (2, 3)
         assert np.isfinite(pos).all()
 
+    @pytest.mark.slow
     def test_cli_runs_on_tum_dir(self, tum_dir, tmp_path):
         root, cam = tum_dir
         out = str(tmp_path / "out")
