@@ -74,24 +74,41 @@ def cmd_run(args) -> int:
     gt_list = []
     t_start = time.perf_counter()
     n = 0
-    for item in frames:
-        gray, depth, r_gt, t_gt, ts = item
-        det = None
-        if detector is not None:
-            rgb = np.stack([gray] * 3, axis=-1)
-            with timer.stage("detector"):
-                det = detector(rgb)
-        if tracer:
-            tracer.begin("frame")
-        with timer.stage("frame"):
-            slam.process(gray, depth, ts, detections=det)
-        if tracer:
-            tracer.end("frame")
-        if t_gt is not None:
-            gt_list.append(t_gt)
-        n += 1
-    slam.finalize()
-    wall = time.perf_counter() - t_start
+    if getattr(args, "threaded", False):
+        # middleware transport: IO thread → bounded queue →
+        # ApproximateTime → device loop (pipeline/runner.py)
+        from dynamic_visual_slam_tpu.pipeline.runner import ThreadedPipeline
+
+        def gen():
+            nonlocal n
+            for gray, depth, r_gt, t_gt, ts in frames:
+                if t_gt is not None:
+                    gt_list.append(t_gt)
+                n += 1
+                yield gray, depth, ts
+
+        runner = ThreadedPipeline(slam, detector=detector)
+        runner.run(gen())
+        wall = time.perf_counter() - t_start
+    else:
+        for item in frames:
+            gray, depth, r_gt, t_gt, ts = item
+            det = None
+            if detector is not None:
+                rgb = np.stack([gray] * 3, axis=-1)
+                with timer.stage("detector"):
+                    det = detector(rgb)
+            if tracer:
+                tracer.begin("frame")
+            with timer.stage("frame"):
+                slam.process(gray, depth, ts, detections=det)
+            if tracer:
+                tracer.end("frame")
+            if t_gt is not None:
+                gt_list.append(t_gt)
+            n += 1
+        slam.finalize()
+        wall = time.perf_counter() - t_start
 
     # exports
     stamps, rs, ts_arr = slam.frontend_trajectory()
@@ -221,6 +238,10 @@ def main(argv: Optional[list] = None) -> int:
     pr.add_argument("--out-dir", default="slam_out")
     pr.add_argument("--trace", action="store_true",
                     help="dump a chrome trace of host stages")
+    pr.add_argument("--threaded", action="store_true",
+                    help="route frames through the bounded-queue/"
+                         "ApproximateTime middleware (IO thread + device "
+                         "loop) — the reference's DDS transport topology")
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="run the headline benchmark")

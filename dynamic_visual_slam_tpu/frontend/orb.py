@@ -297,25 +297,39 @@ def extract(img: jnp.ndarray, cfg: ORBConfig) -> Keypoints:
     quotas = features_per_level(cfg)
 
     from dynamic_visual_slam_tpu.ops import descriptors as desc_k
-    from dynamic_visual_slam_tpu.ops.fields import frontend_fields_atlas
+    from dynamic_visual_slam_tpu.ops.fields import (fast_score_atlas,
+                                                    frontend_fields)
 
-    all_fields = frontend_fields_atlas(list(levels))   # ONE fused call
+    pallas_path = desc_k.use_pallas()
+    if pallas_path:
+        # TPU: dense FAST scores only (one fused call); IC moments are
+        # computed per-keypoint inside the descriptor kernel
+        scores = fast_score_atlas(list(levels))
+        fields = [(s, None, None) for s in scores]
+    else:
+        fields = [frontend_fields(img_l) for img_l in levels]
+
     parts = []
     blurred_padded = []
+    raw_padded = []
     row_offsets = []
     row = 0
     max_w = levels[0].shape[1] + 2 * SAMPLE_PAD
     for lvl, (img_l, quota) in enumerate(zip(levels, quotas)):
-        score, m10, m01 = all_fields[lvl]
+        score, m10, m01 = fields[lvl]
         ys, xs, resp = detect_level(score, quota, float(cfg.ini_th_fast),
                                     float(cfg.min_th_fast))
         valid = resp > 0
-        angles = angles_from_maps(m10, m01, ys, xs)
+        if pallas_path:
+            angles = jnp.zeros_like(resp)     # filled from kernel moments
+        else:
+            angles = angles_from_maps(m10, m01, ys, xs)
         # round: the reference blurs uint8→uint8; integer quantization matters
         # for BRIEF near-tie comparisons (descriptor-parity tests)
         blurred = jnp.clip(jnp.round(imops.gaussian_blur(img_l, 7, 2.0)),
                            0.0, 255.0)
         blurred_padded.append(imops.reflect_pad(blurred, SAMPLE_PAD))
+        raw_padded.append(imops.reflect_pad(img_l, SAMPLE_PAD))
         row_offsets.append(row)
         row += blurred_padded[-1].shape[0] + ATLAS_GAP
         scale = cfg.scale_factor ** lvl   # coords → level 0 (ORBextractor.cpp:1148)
@@ -347,10 +361,14 @@ def extract(img: jnp.ndarray, cfg: ORBConfig) -> Keypoints:
     # level's padded frame, so the per-level reflect pad is already included
     # in row_off; compute_descriptors/pallas both expect unpadded coords)
     atlas_ys = cat["ys"] + cat["row_off"]
-    if desc_k.use_pallas():
-        bits = desc_k.descriptors_pallas(atlas, atlas_ys, cat["xs"],
-                                         cat["angle"], brief_pattern(),
-                                         SAMPLE_PAD)
+    if pallas_path:
+        raw_atlas = jnp.zeros((row, max_w), jnp.float32)
+        for off, rp in zip(row_offsets, raw_padded):
+            raw_atlas = jax.lax.dynamic_update_slice(raw_atlas, rp, (off, 0))
+        bits, m10k, m01k = desc_k.descriptors_moments_pallas(
+            atlas, raw_atlas, atlas_ys, cat["xs"], brief_pattern(),
+            SAMPLE_PAD)
+        cat["angle"] = jnp.arctan2(m01k, m10k)
     else:
         bits = compute_descriptors(atlas, atlas_ys, cat["xs"], cat["angle"])
 

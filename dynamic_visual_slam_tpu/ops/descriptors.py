@@ -126,6 +126,130 @@ def descriptors_pallas(img_reflect_padded: jnp.ndarray, ys: jnp.ndarray,
     return out.astype(jnp.uint8)
 
 
+def _kernel_with_moments(umax_list):
+    """Kernel computing IC moments + rBRIEF per keypoint.
+
+    Two patch DMAs per keypoint — the RAW level patch (intensity-centroid
+    moments are computed pre-blur, ORBextractor.cpp:471-478,76-103) and
+    the BLURRED patch (rBRIEF sampling, :1131-1138). The angle never
+    exists as a dense field: cos/sin come straight from the in-kernel
+    moments, eliminating the dense m10/m01 maps that dominated the fused
+    frontend-fields kernel (~3 ms/frame at 720p)."""
+
+    def kern(ys_ref, xs_ref, oy_ref, ox_ref, pxy_ref,
+             img_hbm, raw_hbm, out_ref, mom_ref, patches, raws, sems,
+             rsems):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        i = pl.program_id(0)
+        px = pxy_ref[0, :]
+        py = pxy_ref[1, :]
+        for j in range(KPB):
+            k = i * KPB + j
+            y0 = pl.multiple_of(ys_ref[k], 8)
+            x0 = pl.multiple_of(xs_ref[k], 128)
+            pltpu.make_async_copy(img_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
+                                  patches.at[j], sems.at[j]).start()
+            pltpu.make_async_copy(raw_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
+                                  raws.at[j], rsems.at[j]).start()
+        for j in range(KPB):
+            k = i * KPB + j
+            y0 = pl.multiple_of(ys_ref[k], 8)
+            x0 = pl.multiple_of(xs_ref[k], 128)
+            pltpu.make_async_copy(img_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
+                                  patches.at[j], sems.at[j]).wait()
+            pltpu.make_async_copy(raw_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
+                                  raws.at[j], rsems.at[j]).wait()
+        for j in range(KPB):
+            k = i * KPB + j
+            # --- IC moments over the umax disc around (oy, ox) ---
+            ry = jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 0) - oy_ref[k]
+            rx = jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 1) - ox_ref[k]
+            ady = jnp.abs(ry)
+            u = jnp.zeros((PH, PW), jnp.int32)
+            for dyv, uv in enumerate(umax_list):
+                u = jnp.where(ady == dyv, int(uv), u)
+            inside = ((ady <= HALF_PATCH_IC)
+                      & (jnp.abs(rx) <= u)).astype(jnp.float32)
+            w = raws[j] * inside
+            m10 = jnp.sum(w * rx.astype(jnp.float32))
+            m01 = jnp.sum(w * ry.astype(jnp.float32))
+            n2 = m10 * m10 + m01 * m01
+            inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-18))
+            a = jnp.where(n2 > 0, m10 * inv, 1.0)   # cos(theta)
+            b = jnp.where(n2 > 0, m01 * inv, 0.0)   # sin(theta)
+
+            col = jnp.round(px * a - py * b).astype(jnp.int32) + ox_ref[k]
+            row = jnp.round(px * b + py * a).astype(jnp.int32) + oy_ref[k]
+            riota = jax.lax.broadcasted_iota(jnp.int32, (512, PH), 1)
+            rsel = (riota == row[:, None]).astype(jnp.float32)
+            y = jnp.dot(rsel, patches[j], preferred_element_type=jnp.float32)
+            ciota = jax.lax.broadcasted_iota(jnp.int32, (512, PW), 1)
+            csel = (ciota == col[:, None]).astype(jnp.float32)
+            s = jnp.sum(y * csel, axis=1)
+            out_ref[j, :] = (s[:256] < s[256:]).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
+            mom_ref[j, :] = jnp.where(lane == 0, m10,
+                                      jnp.where(lane == 1, m01, 0.0))
+
+    return kern
+
+
+HALF_PATCH_IC = 15
+
+
+def descriptors_moments_pallas(img_blur_padded: jnp.ndarray,
+                               img_raw_padded: jnp.ndarray,
+                               ys: jnp.ndarray, xs: jnp.ndarray,
+                               pattern: np.ndarray, sample_pad: int
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                          jnp.ndarray]:
+    """Blurred + raw reflect-padded level atlases + K keypoints → (bits
+    (K,256) uint8, m10 (K,), m01 (K,)). K must be a multiple of KPB."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dynamic_visual_slam_tpu.frontend.orb import ic_umax
+
+    k = ys.shape[0]
+    assert k % KPB == 0, k
+    img = _pad_image(img_blur_padded)
+    raw = _pad_image(img_raw_padded)
+    pat = jnp.asarray(pattern)
+    pxy = jnp.stack([jnp.concatenate([pat[:, 0], pat[:, 2]]),
+                     jnp.concatenate([pat[:, 1], pat[:, 3]])])
+    yk = ys + sample_pad + PAD_T
+    xk = xs + sample_pad + PAD_L
+    y0a = ((yk - CY) // 8) * 8
+    x0a = ((xk - CX) // 128) * 128
+    oy = yk - y0a
+    ox = xk - x0a
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(k // KPB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec((KPB, 256), lambda i, *_: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((KPB, 128), lambda i, *_: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((KPB, PH, PW), jnp.float32),
+                        pltpu.VMEM((KPB, PH, PW), jnp.float32),
+                        pltpu.SemaphoreType.DMA((KPB,)),
+                        pltpu.SemaphoreType.DMA((KPB,))])
+    bits, moments = pl.pallas_call(
+        _kernel_with_moments([int(v) for v in ic_umax()]),
+        out_shape=(jax.ShapeDtypeStruct((k, 256), jnp.float32),
+                   jax.ShapeDtypeStruct((k, 128), jnp.float32)),
+        grid_spec=grid_spec,
+    )(y0a.astype(jnp.int32), x0a.astype(jnp.int32),
+      oy.astype(jnp.int32), ox.astype(jnp.int32), pxy, img, raw)
+    return bits.astype(jnp.uint8), moments[:, 0], moments[:, 1]
+
+
 def use_pallas() -> bool:
     return (jax.default_backend() == "tpu"
             and os.environ.get("DVS_DISABLE_PALLAS") != "1")

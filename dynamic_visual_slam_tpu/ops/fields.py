@@ -311,3 +311,83 @@ def frontend_fields_atlas(levels, tile_rows: int = 24):
 def use_pallas_fields() -> bool:
     from dynamic_visual_slam_tpu.ops.descriptors import use_pallas
     return use_pallas()
+
+
+def fast_score_atlas(levels, tile_rows: int = 32):
+    """FAST-9 score maps for ALL pyramid levels in ONE Pallas call —
+    detection only; IC moments moved into the per-keypoint descriptor
+    kernel (ops/descriptors.descriptors_moments_pallas), so the dense
+    moment fields (the bulk of the fused kernel's VMEM/compute) are gone.
+    Returns a list of (H_l, W_l) score maps."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w0 = levels[0].shape[1]
+    wp = -(-(w0 + 2 * HALO) // 128) * 128
+    offs = []
+    row = 0
+    padded_levels = []
+    for img_l in levels:
+        p = jnp.pad(img_l.astype(jnp.float32), HALO, mode="reflect")
+        offs.append(row)
+        padded_levels.append(p)
+        row += -(-p.shape[0] // 8) * 8
+    n_tiles = -(-(row - 2 * HALO) // tile_rows)
+    total_rows = n_tiles * tile_rows + 2 * HALO
+    atlas = jnp.zeros((total_rows, wp), jnp.float32)
+    for off, p in zip(offs, padded_levels):
+        atlas = jax.lax.dynamic_update_slice(atlas, p, (off, 0))
+
+    w = wp - 2 * HALO
+    rows = tile_rows + 2 * HALO
+
+    def start_copy(img_hbm, scratch, sems, tile_idx, slot):
+        return pltpu.make_async_copy(
+            img_hbm.at[pl.ds(tile_idx * tile_rows, rows), :],
+            scratch.at[slot], sems.at[slot])
+
+    def kernel(img_hbm, score_ref, scratch, sems):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i == 0)
+        def _first():
+            start_copy(img_hbm, scratch, sems, 0, 0).start()
+
+        @pl.when(i + 1 < n_tiles)
+        def _prefetch():
+            start_copy(img_hbm, scratch, sems, i + 1,
+                       jax.lax.rem(i + 1, 2)).start()
+
+        start_copy(img_hbm, scratch, sems, i, slot).wait()
+        tile = scratch[slot]
+        c0 = HALO
+        center = tile[c0:c0 + tile_rows, c0:c0 + w]
+        d = [tile[c0 + dy:c0 + dy + tile_rows, c0 + dx:c0 + dx + w] - center
+             for dy, dx in CIRCLE_DYDX]
+        bright = None
+        dark_neg = None
+        for k in range(16):
+            mn = d[k]
+            mx = d[k]
+            for j in range(1, ARC_LEN):
+                mn = jnp.minimum(mn, d[(k + j) % 16])
+                mx = jnp.maximum(mx, d[(k + j) % 16])
+            bright = mn if bright is None else jnp.maximum(bright, mn)
+            dark_neg = mx if dark_neg is None else jnp.minimum(dark_neg, mx)
+        score_ref[...] = jnp.maximum(bright, -dark_neg)
+
+    out_shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, w), jnp.float32)
+    spec = pl.BlockSpec((tile_rows, w), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    score = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((2, rows, wp), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )(atlas)
+    return [score[off:off + img_l.shape[0], :img_l.shape[1]]
+            for off, img_l in zip(offs, levels)]
