@@ -91,6 +91,9 @@ def cmd_run(args) -> int:
         runner.run(gen())
         wall = time.perf_counter() - t_start
     else:
+        debug_every = getattr(args, "debug_images", 0)
+        if debug_every:
+            os.makedirs(os.path.join(args.out_dir, "debug"), exist_ok=True)
         for item in frames:
             gray, depth, r_gt, t_gt, ts = item
             det = None
@@ -104,6 +107,20 @@ def cmd_run(args) -> int:
                 slam.process(gray, depth, ts, detections=det)
             if tracer:
                 tracer.end("frame")
+            if debug_every and n % debug_every == 0:
+                # annotated feature image, the reference's per-frame
+                # /feature_detector/features_image (frontend.cpp:1229-1232)
+                kp = slam.tracker_state.prev
+                m = np.asarray(kp.mask)
+                img = viz.annotate_features(np.asarray(gray),
+                                            np.asarray(kp.uv)[m])
+                path = os.path.join(args.out_dir, "debug",
+                                    f"frame_{n:05d}.png")
+                try:
+                    import cv2
+                    cv2.imwrite(path, img)
+                except Exception:
+                    np.save(path.replace(".png", ".npy"), img)
             if t_gt is not None:
                 gt_list.append(t_gt)
             n += 1
@@ -238,6 +255,10 @@ def main(argv: Optional[list] = None) -> int:
     pr.add_argument("--out-dir", default="slam_out")
     pr.add_argument("--trace", action="store_true",
                     help="dump a chrome trace of host stages")
+    pr.add_argument("--debug-images", type=int, default=0, metavar="N",
+                    help="write an annotated feature image every N frames "
+                         "to OUT_DIR/debug/ (the reference's "
+                         "/feature_detector/features_image stream)")
     pr.add_argument("--threaded", action="store_true",
                     help="route frames through the bounded-queue/"
                          "ApproximateTime middleware (IO thread + device "

@@ -126,7 +126,7 @@ def descriptors_pallas(img_reflect_padded: jnp.ndarray, ys: jnp.ndarray,
     return out.astype(jnp.uint8)
 
 
-def _kernel_with_moments(umax_list):
+def _kernel_with_moments(umax_list, n_grid):
     """Kernel computing IC moments + rBRIEF per keypoint.
 
     Two patch DMAs per keypoint — the RAW level patch (intensity-centroid
@@ -134,7 +134,9 @@ def _kernel_with_moments(umax_list):
     the BLURRED patch (rBRIEF sampling, :1131-1138). The angle never
     exists as a dense field: cos/sin come straight from the in-kernel
     moments, eliminating the dense m10/m01 maps that dominated the fused
-    frontend-fields kernel (~3 ms/frame at 720p)."""
+    frontend-fields kernel (~3 ms/frame at 720p). Patch DMAs are
+    double-buffered ACROSS grid steps: step i+1's 16 copies stream while
+    step i computes."""
 
     def kern(ys_ref, xs_ref, oy_ref, ox_ref, pxy_ref,
              img_hbm, raw_hbm, out_ref, mom_ref, patches, raws, sems,
@@ -143,24 +145,40 @@ def _kernel_with_moments(umax_list):
         from jax.experimental.pallas import tpu as pltpu
 
         i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
         px = pxy_ref[0, :]
         py = pxy_ref[1, :]
+
+        def start_step(step_idx, sslot):
+            for j in range(KPB):
+                k = step_idx * KPB + j
+                y0 = pl.multiple_of(ys_ref[k], 8)
+                x0 = pl.multiple_of(xs_ref[k], 128)
+                pltpu.make_async_copy(
+                    img_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
+                    patches.at[sslot, j], sems.at[sslot, j]).start()
+                pltpu.make_async_copy(
+                    raw_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
+                    raws.at[sslot, j], rsems.at[sslot, j]).start()
+
+        @pl.when(i == 0)
+        def _first():
+            start_step(0, 0)
+
+        @pl.when(i + 1 < n_grid)
+        def _prefetch():
+            start_step(i + 1, jax.lax.rem(i + 1, 2))
+
         for j in range(KPB):
             k = i * KPB + j
             y0 = pl.multiple_of(ys_ref[k], 8)
             x0 = pl.multiple_of(xs_ref[k], 128)
             pltpu.make_async_copy(img_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
-                                  patches.at[j], sems.at[j]).start()
+                                  patches.at[slot, j],
+                                  sems.at[slot, j]).wait()
             pltpu.make_async_copy(raw_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
-                                  raws.at[j], rsems.at[j]).start()
-        for j in range(KPB):
-            k = i * KPB + j
-            y0 = pl.multiple_of(ys_ref[k], 8)
-            x0 = pl.multiple_of(xs_ref[k], 128)
-            pltpu.make_async_copy(img_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
-                                  patches.at[j], sems.at[j]).wait()
-            pltpu.make_async_copy(raw_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
-                                  raws.at[j], rsems.at[j]).wait()
+                                  raws.at[slot, j],
+                                  rsems.at[slot, j]).wait()
         for j in range(KPB):
             k = i * KPB + j
             # --- IC moments over the umax disc around (oy, ox) ---
@@ -172,7 +190,7 @@ def _kernel_with_moments(umax_list):
                 u = jnp.where(ady == dyv, int(uv), u)
             inside = ((ady <= HALF_PATCH_IC)
                       & (jnp.abs(rx) <= u)).astype(jnp.float32)
-            w = raws[j] * inside
+            w = raws[slot, j] * inside
             m10 = jnp.sum(w * rx.astype(jnp.float32))
             m01 = jnp.sum(w * ry.astype(jnp.float32))
             n2 = m10 * m10 + m01 * m01
@@ -184,7 +202,8 @@ def _kernel_with_moments(umax_list):
             row = jnp.round(px * b + py * a).astype(jnp.int32) + oy_ref[k]
             riota = jax.lax.broadcasted_iota(jnp.int32, (512, PH), 1)
             rsel = (riota == row[:, None]).astype(jnp.float32)
-            y = jnp.dot(rsel, patches[j], preferred_element_type=jnp.float32)
+            y = jnp.dot(rsel, patches[slot, j],
+                        preferred_element_type=jnp.float32)
             ciota = jax.lax.broadcasted_iota(jnp.int32, (512, PW), 1)
             csel = (ciota == col[:, None]).astype(jnp.float32)
             s = jnp.sum(y * csel, axis=1)
@@ -236,12 +255,12 @@ def descriptors_moments_pallas(img_blur_padded: jnp.ndarray,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((KPB, 128), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((KPB, PH, PW), jnp.float32),
-                        pltpu.VMEM((KPB, PH, PW), jnp.float32),
-                        pltpu.SemaphoreType.DMA((KPB,)),
-                        pltpu.SemaphoreType.DMA((KPB,))])
+        scratch_shapes=[pltpu.VMEM((2, KPB, PH, PW), jnp.float32),
+                        pltpu.VMEM((2, KPB, PH, PW), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, KPB)),
+                        pltpu.SemaphoreType.DMA((2, KPB))])
     bits, moments = pl.pallas_call(
-        _kernel_with_moments([int(v) for v in ic_umax()]),
+        _kernel_with_moments([int(v) for v in ic_umax()], k // KPB),
         out_shape=(jax.ShapeDtypeStruct((k, 256), jnp.float32),
                    jax.ShapeDtypeStruct((k, 128), jnp.float32)),
         grid_spec=grid_spec,

@@ -74,9 +74,8 @@ class SLAMFleet:
         k = Intrinsics.from_config(cfg.camera)
         filt = jnp.zeros(max(cfg.map.max_categories, 81), bool)
 
-        def one_step(tstate, mstate, gray, depth, ts):
+        def one_step(tstate, mstate, gray, depth, ts, det):
             tstate, out = tracker.track_step(cfg, tstate, gray, depth, ts)
-            det = mapping.Detections.empty(cfg.semantic.max_detections)
             mstate2, _ = mapping.insert_keyframe(cfg, mstate, out.keyframe,
                                                  det, filt)
             mstate = jax.tree_util.tree_map(
@@ -98,13 +97,59 @@ class SLAMFleet:
             mapping.init_map(cfg)), self.mesh)
 
     def step(self, grays: jnp.ndarray, depths: jnp.ndarray,
-             stamps: jnp.ndarray):
-        """(B,H,W) gray + depth + (B,) stamps → per-stream TrackOutput."""
-        grays, depths, stamps = (shard_batch(x, self.mesh)
-                                 for x in (grays, depths, stamps))
+             stamps: jnp.ndarray,
+             detections: Optional[mapping.Detections] = None):
+        """(B,H,W) gray + depth + (B,) stamps (+ optional per-stream
+        Detections with leading dim B — e.g. from detect_batch) →
+        per-stream TrackOutput."""
+        if detections is None:
+            det1 = mapping.Detections.empty(
+                self.cfg.semantic.max_detections)
+            detections = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (self.batch,) + x.shape),
+                det1)
+        grays, depths, stamps, detections = (
+            shard_batch(x, self.mesh)
+            for x in (grays, depths, stamps, detections))
         self.tracker_states, self.map_states, out = self._step(
-            self.tracker_states, self.map_states, grays, depths, stamps)
+            self.tracker_states, self.map_states, grays, depths, stamps,
+            detections)
         return out
+
+    def make_detector(self, params: Any, input_size: int = 640):
+        """Sharded semantic stage for the fleet: returns fn mapping
+        (B, H, W) gray frames → per-stream Detections (dp-sharded), ready
+        to feed step(). Composes sharded YOLO inference with the same
+        letterbox/unletterbox + class-shift postprocessing the
+        single-stream pipeline uses (semantic/detector.py)."""
+        from dynamic_visual_slam_tpu.models import yolov8
+        cfg = self.cfg
+        h, w = cfg.camera.height, cfg.camera.width
+        s = input_size
+        scale = min(s / w, s / h)
+        nw, nh = int(round(w * scale)), int(round(h * scale))
+        px, py = (s - nw) // 2, (s - nh) // 2
+        p_repl = replicate(params, self.mesh)
+
+        @jax.jit
+        def detect(grays):
+            def one(gray):
+                rgb = jnp.stack([gray] * 3, axis=-1).astype(jnp.float32)
+                img = jax.image.resize(rgb, (nh, nw, 3), "linear")
+                canvas = jnp.full((s, s, 3), 114.0, jnp.float32)
+                canvas = jax.lax.dynamic_update_slice(canvas, img,
+                                                      (py, px, 0))
+                raw = yolov8.detect(p_repl, canvas, s, 32)
+                boxes = (raw.boxes - jnp.asarray(
+                    [px, py, px, py], jnp.float32)) / scale
+                boxes = jnp.clip(boxes, 0.0, jnp.asarray(
+                    [w - 1, h - 1, w - 1, h - 1], jnp.float32))
+                return mapping.Detections(
+                    boxes=boxes,
+                    category=(raw.classes + 1).astype(jnp.int32),
+                    score=raw.scores, mask=raw.valid)
+            return jax.vmap(one)(grays)
+        return detect
 
     def run_ba(self):
         self.map_states, costs = self._ba(self.map_states)
