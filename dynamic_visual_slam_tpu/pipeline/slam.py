@@ -156,15 +156,30 @@ class SLAMSystem:
 
         self._run_ba_fb = jax.jit(run_ba_fb)
 
-        def apply_loop(tstate, mstate, q_corr, t_corr, cand_seq, entry_seq):
+        def apply_loop(tstate, mstate, q_pnp, t_pnp, cand_seq, entry_seq):
             """Distribute a verified loop's drift correction over the
             keyframe ring (se3-tangent scaled by keyframe age between the
             loop endpoints), the landmarks (by newest observation), and
-            the live tracker pose (full correction)."""
+            the live tracker pose (full correction).
+
+            The correction is computed HERE against the entry keyframe's
+            CURRENT ring pose (BA feedback may have moved it since the
+            loop was dispatched): T_corr = T_pnp ∘ T_entry_now⁻¹. Spurious
+            PnP poses are rejected by a magnitude gate (>1 m or >0.5 rad
+            corrections are no-ops)."""
             kdb = mstate.keyframes
             s = jnp.arange(f_cap)
             newest = kdb.next_slot - 1
             seq = newest - jnp.mod(newest - s, f_cap)        # per-slot seq
+            entry_hit = (seq == entry_seq) & kdb.active
+            slot = jnp.argmax(entry_hit)
+            q_ei, t_ei = lie.se3_inverse(kdb.q[slot], kdb.t[slot])
+            q_corr, t_corr = lie.se3_compose(q_pnp, t_pnp, q_ei, t_ei)
+            ok = jnp.any(entry_hit) \
+                & (jnp.linalg.norm(t_corr) < 1.0) \
+                & (jnp.linalg.norm(lie.so3_log(q_corr)) < 0.5)
+            q_corr = jnp.where(ok, q_corr, jnp.asarray([1., 0., 0., 0.]))
+            t_corr = jnp.where(ok, t_corr, jnp.zeros(3))
             span = jnp.maximum(entry_seq - cand_seq, 1).astype(jnp.float32)
             alpha = jnp.clip((seq - cand_seq).astype(jnp.float32) / span,
                              0.0, 1.0) * kdb.active
@@ -469,14 +484,8 @@ class SLAMSystem:
                     min_inliers=cfg.ransac.min_pnp_matches,
                     refine_iters=cfg.ransac.refine_iterations)
                 q_pnp_wc, t_pnp_wc = lie.se3_inverse(pnp.q, pnp.t)
-                q_si, t_si = lie.se3_inverse(q1, t1)
-                q_corr, t_corr = lie.se3_compose(q_pnp_wc, t_pnp_wc,
-                                                 q_si, t_si)
-                ok = pnp.valid
-                q_corr = jnp.where(ok, q_corr,
-                                   jnp.asarray([1., 0., 0., 0.]))
-                t_corr = jnp.where(ok, t_corr, jnp.zeros(3))
-                return n_inl, q_corr, t_corr, pnp.n_inliers
+                n_pnp = jnp.where(pnp.valid, pnp.n_inliers, 0)
+                return n_inl, q_pnp_wc, t_pnp_wc, n_pnp
 
             self._verify_loop_fn = jax.jit(fn)
 
@@ -484,11 +493,11 @@ class SLAMSystem:
         _, d2, uv2, m2, xyz2, _, _ = self._kf_store[cand]
         key = jax.random.key(entry * 9973 + cand)
         return self._verify_loop_fn(d1, uv1, m1, q1, t1, d2, uv2, m2, xyz2,
-                                    key)
+                                    key)  # returns (n_inl, q_pnp, t_pnp, n)
 
     def _harvest_loops(self) -> None:
         for rec, verdict, cand_seq, entry_seq in self._pending_loops:
-            n_inl, q_corr, t_corr, pnp_inl = verdict
+            n_inl, q_pnp, t_pnp, pnp_inl = verdict
             n_inl = int(n_inl)
             rec["inliers"] = n_inl
             rec["pnp_inliers"] = int(pnp_inl)
@@ -499,8 +508,8 @@ class SLAMSystem:
                         int(pnp_inl) >= self.config.ransac.min_pnp_matches:
                     self.tracker_state, self.map_state = \
                         self._apply_loop_fn(
-                            self.tracker_state, self.map_state, q_corr,
-                            t_corr, jnp.asarray(cand_seq, jnp.int32),
+                            self.tracker_state, self.map_state, q_pnp,
+                            t_pnp, jnp.asarray(cand_seq, jnp.int32),
                             jnp.asarray(entry_seq, jnp.int32))
                     rec["applied"] = True
                     self.stats["loops_applied"] = \
