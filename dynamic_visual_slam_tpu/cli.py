@@ -74,7 +74,30 @@ def cmd_run(args) -> int:
     gt_list = []
     t_start = time.perf_counter()
     n = 0
-    if getattr(args, "threaded", False):
+    if getattr(args, "batch", 0) and not getattr(args, "threaded", False) \
+            and detector is None:
+        # offline throughput mode: microbatch frames through one device
+        # dispatch per batch (pipeline/slam.process_batch)
+        b = args.batch
+        buf = []
+        for item in frames:
+            gray, depth, r_gt, t_gt, ts = item
+            if t_gt is not None:
+                gt_list.append(t_gt)
+            buf.append((np.asarray(gray), np.asarray(depth), float(ts)))
+            n += 1
+            if len(buf) == b:
+                with timer.stage("batch"):
+                    slam.process_batch(
+                        np.stack([x[0] for x in buf]),
+                        np.stack([x[1] for x in buf]),
+                        np.asarray([x[2] for x in buf]))
+                buf = []
+        for gray, depth, ts in buf:   # tail smaller than one batch
+            slam.process(gray, depth, ts)
+        slam.finalize()
+        wall = time.perf_counter() - t_start
+    elif getattr(args, "threaded", False):
         # middleware transport: IO thread → bounded queue →
         # ApproximateTime → device loop (pipeline/runner.py)
         from dynamic_visual_slam_tpu.pipeline.runner import ThreadedPipeline
@@ -255,6 +278,10 @@ def main(argv: Optional[list] = None) -> int:
     pr.add_argument("--out-dir", default="slam_out")
     pr.add_argument("--trace", action="store_true",
                     help="dump a chrome trace of host stages")
+    pr.add_argument("--batch", type=int, default=0, metavar="B",
+                    help="offline throughput mode: run frames through the "
+                         "device in lax.scan microbatches of B (detector "
+                         "must be off)")
     pr.add_argument("--debug-images", type=int, default=0, metavar="N",
                     help="write an annotated feature image every N frames "
                          "to OUT_DIR/debug/ (the reference's "

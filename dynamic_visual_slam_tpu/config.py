@@ -92,7 +92,9 @@ class RANSACConfig:
     pnp_threshold_px: float = 4.0
     pnp_confidence: float = 0.99
     min_pnp_matches: int = 6    # frontend.cpp:899
-    refine_iterations: int = 10  # Gauss-Newton polish on the inlier set
+    refine_iterations: int = 5   # Gauss-Newton polish per round (two rounds
+    # with inlier re-gating in between; GN converges quadratically from the
+    # DLT init — 5+5 matches 10+10 to sub-mm while halving the serial tail)
 
 
 @dataclass(frozen=True)
