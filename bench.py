@@ -2,7 +2,8 @@
 """Headline benchmark: the north-star as BASELINE.json defines it —
 720p RGB-D frames through the FULL pipeline (tracking + keyframe mapping +
 8-keyframe-window BA at its 2 s cadence) on one TPU chip, plus the
-supporting numbers (tracking-only FPS, BA solves/sec).
+supporting numbers (tracking-only FPS, per-stage breakdown, BA solves/sec,
+transport-included figures).
 
 Reference baseline: 30 FPS real-time at 1280x720 on CPU (README.md:123,235);
 rebuild north-star: >=60 FPS with 8-KF-window BA (BASELINE.json). Prints ONE
@@ -14,6 +15,15 @@ synthetic timestamps at 30 FPS input spacing so the pipeline does the same
 BA work per input frame regardless of how fast the chip chews through them.
 Place recognition is off — matching the reference, which links DBoW2 but
 never calls it (SURVEY.md C7).
+
+Three throughput figures are reported:
+  - value (headline): device-resident input frames — what a production v5e
+    host with PCIe-attached camera DMA would see;
+  - full_pipeline_fps_incl_tunnel_transport: frames staged from host numpy
+    inside the timed loop, serially;
+  - full_pipeline_fps_incl_transport_overlapped: double-buffered staging —
+    the async device_put of batch i+1 is issued before batch i's compute
+    dispatch, so upload and compute overlap as far as the transport allows.
 """
 
 import json
@@ -40,25 +50,87 @@ def main() -> None:
             time.sleep(20.0)
 
 
-def _tracking_only_fps(cfg, frames) -> float:
+def _time_loop(fn, n, *block_of):
+    """Time n dispatches with ONE terminal block (tunnel-safe: per-call
+    blocking costs 0.1-1 s of polling backoff when work is in flight)."""
+    import jax
+    t0 = time.perf_counter()
+    out = None
+    for i in range(n):
+        out = fn(i)
+    jax.block_until_ready(out if not block_of else block_of[0](out))
+    return (time.perf_counter() - t0) / n
+
+
+def _stage_breakdown(cfg, frames) -> dict:
+    """Per-stage device-timed sub-benches (extract / full track step /
+    keyframe insert / BA are timed separately), so the tracking number is
+    decomposable and recomputable (VERDICT r2 weak #2)."""
+    import jax
     import jax.numpy as jnp
 
-    from dynamic_visual_slam_tpu.frontend import tracker
+    from dynamic_visual_slam_tpu.backend import ba as ba_mod
+    from dynamic_visual_slam_tpu.backend import mapping
+    from dynamic_visual_slam_tpu.core.camera import Intrinsics
+    from dynamic_visual_slam_tpu.frontend import orb, tracker
+    from dynamic_visual_slam_tpu.semantic.classes import filtered_mask
 
+    out = {}
+    n = 50
+
+    # ---- ORB extraction alone ----
+    ex = jax.jit(lambda g: orb.extract(g, cfg.orb))
+    kp = ex(frames[0][0])
+    jax.block_until_ready(kp.uv)
+    dt = _time_loop(lambda i: ex(frames[i % 4][0]), n, lambda o: o.uv)
+    out["extract_ms"] = round(dt * 1e3, 3)
+
+    # ---- full tracking step (extract + match + F-RANSAC + PnP + policy) ----
     step = tracker.make_jitted_step(cfg)
     state = tracker.init_state(cfg)
     for i in range(2):
-        state, out = step(state, *frames[i])
-    out.q_wc.block_until_ready()
+        state, tout = step(state, *frames[i])
+    jax.block_until_ready(tout.q_wc)
 
-    n_timed = 50
-    t0 = time.perf_counter()
-    for i in range(n_timed):
+    def one(i):
+        nonlocal state
         g, d, _ = frames[2 + (i % 4)]
-        state, out = step(state, g, d,
-                          jnp.asarray(2.0 + i / 30.0, jnp.float32))
-    out.q_wc.block_until_ready()
-    return n_timed / (time.perf_counter() - t0)
+        state, o = step(state, g, d, jnp.asarray(2.0 + i / 30.0, jnp.float32))
+        return o
+    dt = _time_loop(one, n, lambda o: o.q_wc)
+    out["track_step_ms"] = round(dt * 1e3, 3)
+    out["match_ransac_pnp_ms"] = round(
+        max(out["track_step_ms"] - out["extract_ms"], 0.0), 3)
+
+    # ---- keyframe insert (categorize/associate/allocate/triangulate) ----
+    mstate = mapping.init_map(cfg)
+    fm = filtered_mask(cfg)
+    det = mapping.Detections.empty(cfg.semantic.max_detections)
+    ins = jax.jit(lambda s, kf: mapping.insert_keyframe(cfg, s, kf, det, fm)[0])
+    kf = tout.keyframe._replace(mask=tout.keyframe.uv[:, 0] >= 0)
+    mstate = ins(mstate, kf)
+    jax.block_until_ready(mstate.landmarks.xyz)
+
+    def one_ins(i):
+        nonlocal mstate
+        mstate = ins(mstate, kf)
+        return mstate
+    dt = _time_loop(one_ins, 20, lambda s: s.landmarks.xyz)
+    out["insert_keyframe_ms"] = round(dt * 1e3, 3)
+
+    # ---- BA solve on the populated window ----
+    k = Intrinsics.from_config(cfg.camera)
+    run_ba = jax.jit(lambda s: ba_mod.run_ba(cfg, k, s))
+    mstate, res = run_ba(mstate)
+    jax.block_until_ready(res.final_cost)
+
+    def one_ba(i):
+        nonlocal mstate
+        mstate, r = run_ba(mstate)
+        return r
+    dt = _time_loop(one_ba, 10, lambda r: r.final_cost)
+    out["ba_solve_ms"] = round(dt * 1e3, 3)
+    return out
 
 
 def _run() -> None:
@@ -76,7 +148,8 @@ def _run() -> None:
         frames.append((jnp.asarray(gray), jnp.asarray(depth),
                        jnp.asarray(ts, jnp.float32)))
 
-    tracking_fps = _tracking_only_fps(cfg, frames)
+    stages = _stage_breakdown(cfg, frames)
+    tracking_fps = 1000.0 / stages["track_step_ms"]
 
     # ---- full pipeline: tracking + mapping + BA at reference cadence ----
     # frames in the camera's NATIVE formats (8-bit gray, 16UC1 mm depth —
@@ -105,7 +178,7 @@ def _run() -> None:
     sys_.finalize()
     assert sys_.stats["ba_runs"] >= 1, "BA never triggered during warmup"
 
-    # ---- transport-included run (host numpy frames each batch) ----
+    # ---- transport-included run, serial staging ----
     n_timed = 240
     t0 = time.perf_counter()
     for i0 in range(144, 144 + n_timed, batch):
@@ -114,15 +187,39 @@ def _run() -> None:
     jax.block_until_ready(sys_.map_state.landmarks.xyz)
     transport_fps = n_timed / (time.perf_counter() - t0)
 
+    # ---- transport-included run, double-buffered staging ----
+    # async device_put of batch i+1 is issued BEFORE dispatching batch i's
+    # compute, so the upload rides whatever overlap the transport offers
+    # (on this dev tunnel uploads serialize server-side against in-flight
+    # compute — the measured gap to device-resident is the irreducible RPC
+    # cost; on a PCIe-attached chip the two genuinely overlap)
+    base = 144 + n_timed
+    t0 = time.perf_counter()
+    staged_next = None
+    for i0 in range(base, base + n_timed, batch):
+        if staged_next is None:
+            gs, ds, tss = batch_at(i0)
+            cur = (jax.device_put(gs), jax.device_put(ds), tss)
+        else:
+            cur = staged_next
+        if i0 + batch < base + n_timed:
+            gs, ds, tss = batch_at(i0 + batch)
+            staged_next = (jax.device_put(gs), jax.device_put(ds), tss)
+        sys_.process_batch(*cur)
+    sys_.finalize()
+    jax.block_until_ready(sys_.map_state.landmarks.xyz)
+    overlap_fps = n_timed / (time.perf_counter() - t0)
+
     # ---- headline: device-resident input frames ----
     # On a production v5e host the camera frames DMA over PCIe
     # (2.76 MB/frame ≈ 0.3 ms); this dev environment reaches the chip
     # through a network tunnel whose uploads serialize against compute, so
     # the input staging is excluded from the headline number exactly like
     # an accelerator benchmark excludes its dataloader. The
-    # transport-included figure is reported alongside.
+    # transport-included figures are reported alongside.
+    base = 144 + 2 * n_timed
     staged = []
-    for i0 in range(384, 384 + n_timed, batch):
+    for i0 in range(base, base + n_timed, batch):
         gs, ds, tss = batch_at(i0)
         staged.append((jax.device_put(gs), jax.device_put(ds), tss))
     jax.block_until_ready([s[:2] for s in staged])
@@ -135,17 +232,7 @@ def _run() -> None:
     full_fps = n_timed / dt
     ba_in_window = sys_.stats["ba_runs"]
 
-    # ---- BA solves/sec on the populated window (dispatch+block timed) ----
-    run_ba = sys_._run_ba
-    state = sys_.map_state
-    state, res = run_ba(state)          # ensure compiled
-    jax.block_until_ready(res.final_cost)
-    n_ba = 10
-    t0 = time.perf_counter()
-    for _ in range(n_ba):
-        state, res = run_ba(state)
-    jax.block_until_ready(res.final_cost)
-    ba_solves_per_s = n_ba / (time.perf_counter() - t0)
+    ba_solves_per_s = 1000.0 / stages["ba_solve_ms"]
 
     print(json.dumps({
         "metric": "720p RGB-D full-pipeline throughput with 8-KF-window BA "
@@ -158,6 +245,9 @@ def _run() -> None:
             "ba_solves_per_s": round(ba_solves_per_s, 2),
             "full_pipeline_fps_incl_tunnel_transport":
                 round(transport_fps, 2),
+            "full_pipeline_fps_incl_transport_overlapped":
+                round(overlap_fps, 2),
+            "stage_ms": stages,
             "ba_runs_in_timed_window": ba_in_window,
             "keyframes": sys_.stats["keyframes"],
             "timed_frames": n_timed,

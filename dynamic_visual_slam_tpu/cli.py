@@ -50,6 +50,16 @@ def cmd_run(args) -> int:
         if not (args.weights and os.path.exists(args.weights)):
             print("warning: no detector weights found — random init "
                   "(detections will be meaningless)", file=sys.stderr)
+    elif args.detector == "gt":
+        # ground-truth bboxes from the dynamic synthetic world — the
+        # /yolo/tracking stream with exact boxes (configs 3-4 of
+        # BASELINE.json without pretrained weights)
+        from dynamic_visual_slam_tpu.semantic.detector import GTDetector
+        if args.source != "dynamic":
+            print("error: --detector gt requires --source dynamic",
+                  file=sys.stderr)
+            return 2
+        detector = GTDetector(cfg)
 
     slam = SLAMSystem(cfg)
     timer = profiling.StageTimer()
@@ -59,6 +69,17 @@ def cmd_run(args) -> int:
         frames = synthetic.generate_sequence(cfg.camera, args.frames,
                                              seed=args.seed,
                                              depth_noise=0.004)
+        gt = []
+    elif args.source == "dynamic":
+        # moving-object scene; GT bboxes feed the gt detector if selected
+        def _dyn():
+            for g, d, r, t, ts, boxes in synthetic.generate_dynamic_sequence(
+                    cfg.camera, args.frames, seed=args.seed,
+                    depth_noise=0.004):
+                if detector is not None and hasattr(detector, "record"):
+                    detector.record(ts, boxes)
+                yield g, d, r, t, ts
+        frames = _dyn()
         gt = []
     else:
         if not os.path.exists(os.path.join(args.source, "rgb.txt")):
@@ -71,30 +92,52 @@ def cmd_run(args) -> int:
                   ds.frames(limit=args.frames or None))
         gt = ds
 
-    gt_list = []
+    # Ground truth keyed by frame timestamp: under --threaded the
+    # drop-oldest queue means not every yielded frame is processed, so gt
+    # must be aligned to the trajectory stamps afterwards, never zipped
+    # positionally with the input stream.
+    gt_map = {}
+    runner_stats = None
     t_start = time.perf_counter()
     n = 0
-    if getattr(args, "batch", 0) and not getattr(args, "threaded", False) \
-            and detector is None:
+    def _detect(gray, ts):
+        """Run the detector for one frame (stamp-aware detectors get ts)."""
+        rgb = np.stack([gray] * 3, axis=-1)
+        if hasattr(detector, "record") or hasattr(detector, "_by_stamp"):
+            return detector(rgb, ts)
+        return detector(rgb)
+
+    if getattr(args, "batch", 0) and not getattr(args, "threaded", False):
         # offline throughput mode: microbatch frames through one device
-        # dispatch per batch (pipeline/slam.process_batch)
+        # dispatch per batch (pipeline/slam.process_batch); a detector, if
+        # selected, runs per frame on the host and its Detections are
+        # stacked into the batch — throughput mode and semantic mode
+        # compose (VERDICT r2 weak #7)
+        import jax
         b = args.batch
-        buf = []
+        buf, det_buf = [], []
         for item in frames:
             gray, depth, r_gt, t_gt, ts = item
             if t_gt is not None:
-                gt_list.append(t_gt)
+                gt_map[float(ts)] = t_gt
+            if detector is not None:
+                with timer.stage("detector"):
+                    det_buf.append(_detect(np.asarray(gray), float(ts)))
             buf.append((np.asarray(gray), np.asarray(depth), float(ts)))
             n += 1
             if len(buf) == b:
+                dets = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *det_buf) if det_buf else None
                 with timer.stage("batch"):
                     slam.process_batch(
                         np.stack([x[0] for x in buf]),
                         np.stack([x[1] for x in buf]),
-                        np.asarray([x[2] for x in buf]))
-                buf = []
-        for gray, depth, ts in buf:   # tail smaller than one batch
-            slam.process(gray, depth, ts)
+                        np.asarray([x[2] for x in buf]),
+                        detections=dets)
+                buf, det_buf = [], []
+        for i, (gray, depth, ts) in enumerate(buf):  # tail < one batch
+            det = det_buf[i] if det_buf else None
+            slam.process(gray, depth, ts, detections=det)
         slam.finalize()
         wall = time.perf_counter() - t_start
     elif getattr(args, "threaded", False):
@@ -106,12 +149,12 @@ def cmd_run(args) -> int:
             nonlocal n
             for gray, depth, r_gt, t_gt, ts in frames:
                 if t_gt is not None:
-                    gt_list.append(t_gt)
+                    gt_map[float(ts)] = t_gt
                 n += 1
                 yield gray, depth, ts
 
         runner = ThreadedPipeline(slam, detector=detector)
-        runner.run(gen())
+        runner_stats = runner.run(gen())
         wall = time.perf_counter() - t_start
     else:
         debug_every = getattr(args, "debug_images", 0)
@@ -121,9 +164,8 @@ def cmd_run(args) -> int:
             gray, depth, r_gt, t_gt, ts = item
             det = None
             if detector is not None:
-                rgb = np.stack([gray] * 3, axis=-1)
                 with timer.stage("detector"):
-                    det = detector(rgb)
+                    det = _detect(np.asarray(gray), float(ts))
             if tracer:
                 tracer.begin("frame")
             with timer.stage("frame"):
@@ -145,7 +187,7 @@ def cmd_run(args) -> int:
                 except Exception:
                     np.save(path.replace(".png", ".npy"), img)
             if t_gt is not None:
-                gt_list.append(t_gt)
+                gt_map[float(ts)] = t_gt
             n += 1
         slam.finalize()
         wall = time.perf_counter() - t_start
@@ -165,13 +207,28 @@ def cmd_run(args) -> int:
     if tracer:
         tracer.dump_chrome_trace(os.path.join(args.out_dir, "trace.json"))
 
-    stats = dict(slam.stats, fps=round(n / wall, 2),
+    n_done = runner_stats["frames_processed"] if runner_stats else n
+    stats = dict(slam.stats, fps=round(n_done / max(wall, 1e-9), 2),
                  wall_s=round(wall, 2), landmarks=int(len(lms["xyz"])),
                  stages=timer.summary())
-    if args.source == "synthetic" and gt_list:
-        ate = trajectory.ate_rmse(ts_arr, np.stack(gt_list))
-        stats["ate_rmse_m"] = round(float(ate), 5)
-    elif args.source != "synthetic":
+    if runner_stats:
+        stats["queue_dropped"] = runner_stats.get("queue_dropped", 0)
+        stats["frames_in"] = runner_stats.get("frames_in", n)
+    if args.source in ("synthetic", "dynamic") and gt_map:
+        # align gt by trajectory stamp (processed frames only)
+        keys = np.asarray(sorted(gt_map))
+        sel_est, sel_gt = [], []
+        for i, s in enumerate(stamps):
+            j = int(np.clip(np.searchsorted(keys, s), 0, len(keys) - 1))
+            jb = j - 1 if j > 0 and abs(keys[j - 1] - s) < abs(keys[j] - s) \
+                else j
+            if abs(keys[jb] - s) < 1e-3:
+                sel_est.append(ts_arr[i])
+                sel_gt.append(gt_map[float(keys[jb])])
+        if sel_est:
+            ate = trajectory.ate_rmse(np.stack(sel_est), np.stack(sel_gt))
+            stats["ate_rmse_m"] = round(float(ate), 5)
+    elif args.source not in ("synthetic", "dynamic"):
         gt_pos = gt.gt_positions_at(stamps) if hasattr(gt, "gt_positions_at") \
             else None
         if gt_pos is not None:
@@ -183,32 +240,11 @@ def cmd_run(args) -> int:
     return 0
 
 
-def cmd_parity(args) -> int:
-    """Trajectory-parity harness (BASELINE configs 1-2): run the TPU
-    pipeline AND the CPU oracle pipeline (cv2 ORB + BFMatcher +
-    solvePnPRansac + f64 scipy BA — the reference algorithm on the
-    reference's own libraries) on the SAME frames; report ATE of each
-    against ground truth and against each other."""
-    from dynamic_visual_slam_tpu.io import synthetic, trajectory, tum
+def _parity_once(cfg, frames, gt_t, source_name):
+    """One TPU-vs-oracle run on a shared frame list → report dict."""
+    from dynamic_visual_slam_tpu.io import trajectory
     from dynamic_visual_slam_tpu.oracle.pipeline_cpu import OracleSLAM
     from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
-
-    cfg = _build_config(args)
-    os.makedirs(args.out_dir, exist_ok=True)
-
-    if args.source == "synthetic":
-        frames = list(synthetic.generate_sequence(
-            cfg.camera, args.frames, seed=args.seed, depth_noise=0.004))
-        gt_t = np.stack([f[3] for f in frames])
-    else:
-        if not os.path.exists(os.path.join(args.source, "rgb.txt")):
-            print(f"error: '{args.source}' is not a TUM RGB-D directory",
-                  file=sys.stderr)
-            return 2
-        ds = tum.TUMDataset(args.source)
-        frames = [(g, d, None, None, ts)
-                  for g, d, ts in ds.frames(limit=args.frames or None)]
-        gt_t = None
 
     slam = SLAMSystem(cfg, enable_place_recognition=False)
     for gray, depth, _, _, ts in frames:
@@ -222,24 +258,79 @@ def cmd_parity(args) -> int:
     _, _, orc_t = orc.frontend_trajectory()
 
     report = dict(
-        source=args.source, frames=len(frames),
+        source=source_name, frames=len(frames),
         tpu_keyframes=slam.stats["keyframes"],
         oracle_keyframes=len(orc.keyframes),
         oracle_ba_rounds=orc.ba_rounds,
         tpu_vs_oracle_ate_m=round(
             float(trajectory.ate_rmse(tpu_t, orc_t)), 5))
-    if gt_t is None and hasattr(ds, "gt_positions_at"):
-        stamps = np.asarray([f[4] for f in frames])
-        gt_t = ds.gt_positions_at(stamps)
     if gt_t is not None:
         tpu_ate = float(trajectory.ate_rmse(tpu_t, gt_t))
         orc_ate = float(trajectory.ate_rmse(orc_t, gt_t))
         report.update(
             tpu_ate_m=round(tpu_ate, 5), oracle_ate_m=round(orc_ate, 5),
             ate_ratio=round(tpu_ate / max(orc_ate, 1e-9), 4))
+    return report
+
+
+def cmd_parity(args) -> int:
+    """Trajectory-parity harness (BASELINE configs 1-2): run the TPU
+    pipeline AND the CPU oracle pipeline (cv2 ORB + BFMatcher +
+    solvePnPRansac + f64 scipy BA — the reference algorithm on the
+    reference's own libraries) on the SAME frames; report ATE of each
+    against ground truth and against each other.  With --seeds N, run N
+    seeds and report the distribution (mean/median/worst ATE ratio) so the
+    accuracy claim is statistical, not anecdotal."""
+    from dynamic_visual_slam_tpu.io import synthetic, tum
+
+    cfg = _build_config(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.source != "synthetic":
+        if not os.path.exists(os.path.join(args.source, "rgb.txt")):
+            print(f"error: '{args.source}' is not a TUM RGB-D directory",
+                  file=sys.stderr)
+            return 2
+        ds = tum.TUMDataset(args.source)
+        frames = [(g, d, None, None, ts)
+                  for g, d, ts in ds.frames(limit=args.frames or None)]
+        stamps = np.asarray([f[4] for f in frames])
+        gt_t = ds.gt_positions_at(stamps) \
+            if hasattr(ds, "gt_positions_at") else None
+        report = _parity_once(cfg, frames, gt_t, args.source)
+        with open(os.path.join(args.out_dir, "parity.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report, indent=2))
+        return 0
+
+    seeds = list(range(args.seed, args.seed + max(args.seeds, 1)))
+    runs = []
+    for seed in seeds:
+        frames = list(synthetic.generate_sequence(
+            cfg.camera, args.frames, seed=seed, depth_noise=0.004))
+        gt_t = np.stack([f[3] for f in frames])
+        rep = _parity_once(cfg, frames, gt_t, f"synthetic(seed={seed})")
+        rep["seed"] = seed
+        runs.append(rep)
+        print(json.dumps(rep), flush=True)
+
+    ratios = [r["ate_ratio"] for r in runs if "ate_ratio" in r]
+    report = dict(runs=runs)
+    if ratios:
+        report["summary"] = dict(
+            n=len(ratios),
+            frames=args.frames,
+            resolution=f"{cfg.camera.width}x{cfg.camera.height}",
+            ate_ratio_mean=round(float(np.mean(ratios)), 4),
+            ate_ratio_median=round(float(np.median(ratios)), 4),
+            ate_ratio_worst=round(float(np.max(ratios)), 4),
+            tpu_ate_mean_m=round(float(np.mean(
+                [r["tpu_ate_m"] for r in runs])), 5),
+            oracle_ate_mean_m=round(float(np.mean(
+                [r["oracle_ate_m"] for r in runs])), 5))
     with open(os.path.join(args.out_dir, "parity.json"), "w") as f:
         json.dump(report, f, indent=2)
-    print(json.dumps(report, indent=2))
+    print(json.dumps(report.get("summary", report), indent=2))
     return 0
 
 
@@ -263,7 +354,8 @@ def main(argv: Optional[list] = None) -> int:
 
     pr = sub.add_parser("run", help="run the SLAM pipeline")
     pr.add_argument("--source", default="synthetic",
-                    help="'synthetic' or a TUM RGB-D directory")
+                    help="'synthetic', 'dynamic' (moving objects + GT "
+                         "bboxes), or a TUM RGB-D directory")
     pr.add_argument("--preset", default=None,
                     choices=[None, "camera", "camera_rviz", "yolo_slam",
                              "bag_playback", "tum_fr3"],
@@ -272,7 +364,8 @@ def main(argv: Optional[list] = None) -> int:
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--width", type=int, default=424)
     pr.add_argument("--height", type=int, default=240)
-    pr.add_argument("--detector", default="none", choices=["none", "yolov8"])
+    pr.add_argument("--detector", default="none",
+                    choices=["none", "yolov8", "gt"])
     pr.add_argument("--weights", default=None,
                     help="YOLO weights (.pt or converted .npz)")
     pr.add_argument("--out-dir", default="slam_out")
@@ -301,6 +394,9 @@ def main(argv: Optional[list] = None) -> int:
     pp.add_argument("--preset", default=None)
     pp.add_argument("--frames", type=int, default=240)
     pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--seeds", type=int, default=1, metavar="N",
+                    help="run N consecutive seeds (synthetic only) and "
+                         "report the ATE-ratio distribution")
     pp.add_argument("--width", type=int, default=424)
     pp.add_argument("--height", type=int, default=240)
     pp.add_argument("--out-dir", default="parity_out")

@@ -188,6 +188,12 @@ class SemanticConfig:
     """YOLO semantic filtering (backend.cpp:233,749-751)."""
 
     filtered_classes: Tuple[str, ...] = ("person",)
+    # Cull filtered-class keypoints in the FRONTEND too (before matching /
+    # RANSAC / keyframe payload). Divergence from the reference, which culls
+    # only in the backend (backend.cpp:746-751): in-process frame-synced
+    # detections make frontend culling possible, protecting the odometry
+    # itself from dynamic objects (docs/PARITY.md).
+    cull_in_frontend: bool = True
     detector: str = "yolov8n"
     max_detections: int = 32
     score_threshold: float = 0.25

@@ -113,8 +113,22 @@ def _select_keyframe_features(cfg: SLAMConfig, kps: Keypoints,
     return (fm_inlier_curr & kps.mask) | top_mask
 
 
+def _in_filtered_box(uv: jnp.ndarray, det, filtered: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """(K,2) pixels → (K,) True where the pixel falls inside a detection
+    bbox whose class is semantically filtered (person by default)."""
+    drop_box = det.mask & filtered[det.category]            # (D,)
+    inside = ((uv[:, None, 0] >= det.boxes[None, :, 0])
+              & (uv[:, None, 0] <= det.boxes[None, :, 2])
+              & (uv[:, None, 1] >= det.boxes[None, :, 1])
+              & (uv[:, None, 1] <= det.boxes[None, :, 3])
+              & drop_box[None, :])
+    return jnp.any(inside, axis=1)
+
+
 def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
-               depth_m: jnp.ndarray, timestamp: jnp.ndarray
+               depth_m: jnp.ndarray, timestamp: jnp.ndarray,
+               det=None, filtered=None
                ) -> Tuple[TrackerState, TrackOutput]:
     """One frame.
 
@@ -122,6 +136,15 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     (the native RealSense 16UC1 format, frontend.cpp:1080) or float32
     metres. Integer inputs are converted on device — uploading the camera's
     native 8/16-bit frames is ~4x less host→device traffic than f32.
+
+    det/filtered (optional): synced Detections + (n_categories,) filtered-
+    class mask enable FRONTEND semantic culling (cfg.semantic.
+    cull_in_frontend): keypoints inside a filtered-class bbox are dropped
+    BEFORE matching, so moving objects can never vote in RANSAC/PnP or
+    enter a keyframe. Deliberate divergence from the reference, which culls
+    only in the backend (backend.cpp:746-751) and leaves its frontend
+    odometry exposed to dynamics (docs/PARITY.md) — possible here because
+    detections are frame-synced in-process rather than a separate ROS node.
     """
     if gray.dtype != jnp.float32:
         gray = gray.astype(jnp.float32)
@@ -137,6 +160,10 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     z = _depth_at(depth_m, kps.uv)
     depth_ok = (z > cfg.depth.min_depth) & (z < cfg.depth.max_depth)
     kps = kps._replace(mask=kps.mask & depth_ok)
+    if det is not None and filtered is not None \
+            and cfg.semantic.cull_in_frontend:
+        kps = kps._replace(
+            mask=kps.mask & ~_in_filtered_box(kps.uv, det, filtered))
     n_feat = kps.count()
     lost = n_feat == 0   # tracking reset (frontend.cpp:1107-1117)
 

@@ -32,10 +32,35 @@ def _rot_xyz(rx: float, ry: float, rz: float) -> np.ndarray:
 
 
 @dataclass
+class MovingObject:
+    """A fronto-parallel textured rectangle crossing the static world — the
+    synthetic 'person'.  The reference's entire semantic stage exists to keep
+    such objects out of the map (backend.cpp:746-751, 1011-1029); this gives
+    the rebuild a dynamic fixture with exact ground-truth bboxes, so the
+    culling path can be proven end-to-end without pretrained YOLO weights.
+
+    The rectangle lives on the plane world-z = `z` (in front of the static
+    planes, so it occludes them), is corner-rich (same multi-scale texture as
+    the walls, offset to distinct content), and translates at `velocity` m/s
+    in world x/y."""
+
+    z: float = 1.2                       # inside the 0.3–3.0 m depth gate
+    center0: Tuple[float, float] = (-0.75, 0.05)   # world (x, y) at t=0
+    velocity: Tuple[float, float] = (0.35, 0.0)    # m/s
+    half_size: Tuple[float, float] = (0.16, 0.30)  # metres (person-shaped)
+    tex_id: int = 11                     # texture-content offset
+
+    def center(self, t_s: float) -> np.ndarray:
+        return np.asarray(self.center0) + np.asarray(self.velocity) * t_s
+
+
+@dataclass
 class SyntheticScene:
     """Fronto-parallel textured planes at staggered depths (world z),
     partitioned by world-x strips — non-planar overall, so neither the
-    fundamental matrix nor DLT-PnP degenerates."""
+    fundamental matrix nor DLT-PnP degenerates.  Optional `objects` are
+    moving textured rectangles rendered with correct occlusion (their depth
+    wins where closer) — see MovingObject."""
 
     camera: CameraConfig
     seed: int = 0
@@ -45,6 +70,7 @@ class SyntheticScene:
     strip_edges: Tuple[float, ...] = (-0.6, 0.6)   # world-x boundaries
     texture_px_per_m: float = 220.0
     texture_extent_m: float = 14.0
+    objects: Tuple[MovingObject, ...] = ()
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -85,10 +111,11 @@ class SyntheticScene:
             sid += (x_w >= e).astype(np.int64)
         return sid
 
-    def render(self, r_wc: np.ndarray, t_wc: np.ndarray
+    def render(self, r_wc: np.ndarray, t_wc: np.ndarray, t_s: float = 0.0
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Camera-to-world pose (optical frame: z forward) → (gray, depth_m),
-        both (H, W) float32; gray quantized to uint8 levels."""
+        both (H, W) float32; gray quantized to uint8 levels.  `t_s` drives
+        the moving objects (ignored when the scene has none)."""
         c = self.camera
         us, vs = np.meshgrid(np.arange(c.width), np.arange(c.height))
         d = np.stack([(us - c.cx) / c.fx, (vs - c.cy) / c.fy,
@@ -105,8 +132,52 @@ class SyntheticScene:
             gray = self._sample_texture(px, py, np.full_like(px, pid))
             best_gray = np.where(valid, gray, best_gray)
             best_s = np.where(valid, s, best_s)
+        for obj in self.objects:
+            cx_o, cy_o = obj.center(t_s)
+            dz = dw[..., 2]
+            s = np.where(np.abs(dz) > 1e-9, (obj.z - t_wc[2]) / dz, np.inf)
+            px = t_wc[0] + s * dw[..., 0]
+            py = t_wc[1] + s * dw[..., 1]
+            hit = ((s > 0.05) & (np.abs(px - cx_o) <= obj.half_size[0])
+                   & (np.abs(py - cy_o) <= obj.half_size[1]) & (s < best_s))
+            # texture in OBJECT-local coords: the pattern rides along with
+            # the walker, so its ORB features track the object, not the world
+            gray = self._sample_texture(px - cx_o, py - cy_o,
+                                        np.full_like(px, 20 + obj.tex_id))
+            best_gray = np.where(hit, gray, best_gray)
+            best_s = np.where(hit, s, best_s)
         depth = np.where(np.isfinite(best_s), best_s, 0.0).astype(np.float32)
         return np.round(best_gray).astype(np.float32), depth
+
+    def object_bboxes(self, r_wc: np.ndarray, t_wc: np.ndarray, t_s: float,
+                      margin_px: float = 3.0) -> np.ndarray:
+        """Exact ground-truth image bboxes of the moving objects at time
+        `t_s` for the given camera pose → (K, 4) float32 [x1,y1,x2,y2],
+        visible objects only.  (A planar convex rectangle projects to a
+        convex quad, so the bbox of the projected corners is exact.)"""
+        c = self.camera
+        r_cw = r_wc.T
+        out = []
+        for obj in self.objects:
+            cx_o, cy_o = obj.center(t_s)
+            hx, hy = obj.half_size
+            corners = np.array([[cx_o - hx, cy_o - hy, obj.z],
+                                [cx_o + hx, cy_o - hy, obj.z],
+                                [cx_o - hx, cy_o + hy, obj.z],
+                                [cx_o + hx, cy_o + hy, obj.z]])
+            xc = (corners - t_wc) @ r_cw.T
+            if np.any(xc[:, 2] <= 0.05):
+                continue
+            u = c.fx * xc[:, 0] / xc[:, 2] + c.cx
+            v = c.fy * xc[:, 1] / xc[:, 2] + c.cy
+            x1 = max(u.min() - margin_px, 0.0)
+            y1 = max(v.min() - margin_px, 0.0)
+            x2 = min(u.max() + margin_px, c.width - 1.0)
+            y2 = min(v.max() + margin_px, c.height - 1.0)
+            if x2 - x1 > 2.0 and y2 - y1 > 2.0:
+                out.append([x1, y1, x2, y2])
+        return (np.asarray(out, np.float32) if out
+                else np.zeros((0, 4), np.float32))
 
 
 def orbit_trajectory(n_frames: int, step_t: float = 0.012,
@@ -144,3 +215,64 @@ def generate_sequence(camera: CameraConfig, n_frames: int, seed: int = 0,
             depth = depth * (1.0 + rng.normal(size=depth.shape) * depth_noise
                              ).astype(np.float32)
         yield gray, depth, r, t, i / 30.0
+
+
+def default_walkers(n_frames: int, n: int = 2) -> Tuple[MovingObject, ...]:
+    """Walkers sized/paced for the realistic poisoning regime: image flow
+    from object motion ≈ 1–2 px/frame at the default intrinsics — INSIDE
+    the tracker's RANSAC gates (2 px F / 4 px PnP), so without semantic
+    culling their coherent rigid motion contaminates the pose refinement
+    every frame instead of being rejected as outliers.  Faster objects are
+    trivially rejected as epipolar outliers; these are the hard case."""
+    objs = []
+    for i in range(n):
+        objs.append(MovingObject(
+            z=1.1 + 0.25 * i,
+            center0=(-0.55 + 0.45 * i, 0.05 - 0.12 * i),
+            velocity=(0.2 * (1 if i % 2 == 0 else -1),
+                      0.015 * (1 if i % 2 == 0 else -1)),
+            half_size=(0.26 - 0.05 * i, 0.42 - 0.06 * i),
+            tex_id=11 + 3 * i))
+    return tuple(objs)
+
+
+def loop_trajectory(n_frames: int, radius: float = 0.35
+                    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Deterministic closed orbit that RETURNS TO THE START: one smooth
+    x/z ellipse with a small vertical bob, identity orientation.  The
+    revisit at the end sees the same view as frame 0 — the fixture for
+    loop-closure efficacy tests (a drift-injected run must be correctable
+    by closing this loop)."""
+    poses = []
+    for i in range(n_frames):
+        th = 2.0 * np.pi * i / max(n_frames - 1, 1)
+        t = np.array([radius * np.sin(th),
+                      0.05 * np.sin(2.0 * th),
+                      0.12 * (1.0 - np.cos(th))])
+        poses.append((np.eye(3), t))
+    return poses
+
+
+def generate_dynamic_sequence(
+        camera: CameraConfig, n_frames: int, seed: int = 0,
+        objects: Tuple[MovingObject, ...] = None, depth_noise: float = 0.0,
+        **traj_kw
+        ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                            float, np.ndarray]]:
+    """Dynamic-scene variant: yields (gray, depth_m, R_wc_gt, t_wc_gt,
+    timestamp, gt_bboxes (K,4)) per frame at 30 Hz.  The bboxes are the
+    exact image-space bounds of the moving objects — a ground-truth stand-in
+    for the reference's /yolo/tracking stream (backend.cpp:183-190), so the
+    semantic culling path can be validated without pretrained weights."""
+    if objects is None:
+        objects = default_walkers(n_frames)
+    scene = SyntheticScene(camera, seed=seed, objects=objects)
+    rng = np.random.default_rng(seed + 7)
+    for i, (r, t) in enumerate(orbit_trajectory(n_frames, seed=seed + 1,
+                                                **traj_kw)):
+        ts = i / 30.0
+        gray, depth = scene.render(r, t, t_s=ts)
+        if depth_noise > 0:
+            depth = depth * (1.0 + rng.normal(size=depth.shape) * depth_noise
+                             ).astype(np.float32)
+        yield gray, depth, r, t, ts, scene.object_bboxes(r, t, ts)

@@ -72,36 +72,55 @@ class SLAMFleet:
         self.batch = batch
         self.mesh = mesh or make_mesh()
         k = Intrinsics.from_config(cfg.camera)
-        filt = jnp.zeros(max(cfg.map.max_categories, 81), bool)
+        from dynamic_visual_slam_tpu.semantic.classes import filtered_mask
+        filt = filtered_mask(cfg)
 
         def one_step(tstate, mstate, gray, depth, ts, det):
-            tstate, out = tracker.track_step(cfg, tstate, gray, depth, ts)
+            tstate, out = tracker.track_step(cfg, tstate, gray, depth, ts,
+                                             det=det, filtered=filt)
             mstate2, _ = mapping.insert_keyframe(cfg, mstate, out.keyframe,
                                                  det, filt)
             mstate = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(out.is_keyframe, b, a), mstate, mstate2)
             return tstate, mstate, out
 
-        def one_ba(mstate):
+        def one_ba(mstate, now):
             new_state, res = ba_mod.run_ba(cfg, k, mstate)
+            new_state = new_state._replace(
+                landmarks=mapping.prune(cfg, new_state.landmarks, now))
             return new_state, res.final_cost
 
         self._step = jax.jit(jax.vmap(one_step), donate_argnums=(0, 1))
-        self._ba = jax.jit(jax.vmap(one_ba), donate_argnums=(0,))
+        self._ba = jax.jit(jax.vmap(one_ba, in_axes=(0, None)),
+                           donate_argnums=(0,))
 
         self.tracker_states = shard_batch(jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
             tracker.init_state(cfg)), self.mesh)
+        # decorrelate per-stream RANSAC sampling: stream i's rng is
+        # fold_in(key, i) — also what the solo-equivalence test reproduces
+        keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(0), i)
+                        )(jnp.arange(batch))
+        self.tracker_states = self.tracker_states._replace(
+            rng=shard_batch(keys, self.mesh))
         self.map_states = shard_batch(jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
             mapping.init_map(cfg)), self.mesh)
+        # BA cadence (the reference's 2 s wall timer, backend.cpp:207-209):
+        # one fleet-wide decision per step() from the input stamps
+        self._last_ba_t: Optional[float] = None
+        self.ba_runs = 0
+        self._ba_costs = None
 
     def step(self, grays: jnp.ndarray, depths: jnp.ndarray,
              stamps: jnp.ndarray,
-             detections: Optional[mapping.Detections] = None):
+             detections: Optional[mapping.Detections] = None,
+             auto_ba: bool = True):
         """(B,H,W) gray + depth + (B,) stamps (+ optional per-stream
         Detections with leading dim B — e.g. from detect_batch) →
-        per-stream TrackOutput."""
+        per-stream TrackOutput.  With auto_ba, a vmapped BA round (+ prune)
+        fires for all streams when cfg.ba.period_s of input time elapsed."""
+        now = float(np.max(np.asarray(stamps)))
         if detections is None:
             det1 = mapping.Detections.empty(
                 self.cfg.semantic.max_detections)
@@ -114,6 +133,27 @@ class SLAMFleet:
         self.tracker_states, self.map_states, out = self._step(
             self.tracker_states, self.map_states, grays, depths, stamps,
             detections)
+        if auto_ba:
+            if self._last_ba_t is None:
+                self._last_ba_t = now
+            elif now - self._last_ba_t >= self.cfg.ba.period_s:
+                self._last_ba_t = now
+                self.run_ba(now)
+        return out
+
+    def stats(self) -> dict:
+        """Per-stream observability (ONE device_get): keyframe counts,
+        active landmarks, BA rounds and the last per-stream final costs."""
+        kf_counts, lm_active = jax.device_get((
+            self.map_states.keyframes.count,
+            jnp.sum(self.map_states.landmarks.active.astype(jnp.int32),
+                    axis=-1)))
+        out = dict(streams=self.batch, ba_runs=self.ba_runs,
+                   keyframes=kf_counts.tolist(),
+                   landmarks_active=lm_active.tolist())
+        if self._ba_costs is not None:
+            out["last_ba_costs"] = np.asarray(
+                jax.device_get(self._ba_costs)).tolist()
         return out
 
     def make_detector(self, params: Any, input_size: int = 640):
@@ -151,8 +191,12 @@ class SLAMFleet:
             return jax.vmap(one)(grays)
         return detect
 
-    def run_ba(self):
-        self.map_states, costs = self._ba(self.map_states)
+    def run_ba(self, now: float = 0.0):
+        """Vmapped BA + prune across all streams (async dispatch)."""
+        self.map_states, costs = self._ba(self.map_states,
+                                          jnp.asarray(now, jnp.float32))
+        self.ba_runs += 1
+        self._ba_costs = costs
         return costs
 
 

@@ -139,6 +139,15 @@ class ThreadedPipeline:
         det_results: Dict[float, Any] = {}
         det_lock = threading.Lock()
 
+        # stamp-aware detectors (e.g. semantic.detector.GTDetector) get the
+        # frame timestamp alongside the pixels
+        import inspect
+        try:
+            det_wants_ts = self.detector is not None and \
+                len(inspect.signature(self.detector).parameters) >= 2
+        except (TypeError, ValueError):
+            det_wants_ts = False
+
         def det_thread():
             while not (det_done.is_set()
                        or (io_done.is_set() and len(q_det_in) == 0)):
@@ -148,7 +157,8 @@ class ThreadedPipeline:
                 ts, payload = item
                 g8, _ = _unpack_frame(payload, h, w)
                 rgb = np.stack([g8] * 3, axis=-1)
-                det = self.detector(rgb)
+                det = self.detector(rgb, ts) if det_wants_ts \
+                    else self.detector(rgb)
                 with det_lock:
                     det_results[ts] = det
                 sync.push_b(ts, ts)
@@ -183,9 +193,14 @@ class ThreadedPipeline:
                 n_processed += 1
 
         if self.detector:
-            # flush remaining synced pairs
+            # Drain, don't drop: the detector thread exits on its own once
+            # io_done is set and its queue is empty, so joining it first
+            # guarantees every in-flight detection lands in det_results
+            # before the final flush; poll(flush=True) then emits any tail
+            # A-entries the timeout gate would otherwise strand.
+            threads[1].join(timeout=30.0)
             det_done.set()
-            for stamp, (ga, da), det_key in sync.poll():
+            for stamp, (ga, da), det_key in sync.poll(flush=True):
                 with det_lock:
                     det = det_results.pop(det_key, None) \
                         if det_key is not None else None

@@ -97,7 +97,8 @@ class SLAMSystem:
             f32 telemetry vector packs everything the host reads per frame
             into ONE d2h transfer: [q_wc(4), t_wc(3), tracking_ok, is_kf,
             n_features, n_matches, n_inliers]."""
-            tstate, out = tracker.track_step(cfg, tstate, gray, depth, ts)
+            tstate, out = tracker.track_step(cfg, tstate, gray, depth, ts,
+                                             det=det, filtered=self._filtered)
             mstate = jax.lax.cond(
                 out.is_keyframe,
                 lambda ms: mapping.insert_keyframe(cfg, ms, out.keyframe,
@@ -504,8 +505,14 @@ class SLAMSystem:
             if n_inl >= self.loop_min_inliers:
                 self.loop_candidates.append(rec)
                 self.stats["loop_candidates"] += 1
+                # a drift correction rewrites the whole ring + landmarks —
+                # demand the same consensus strength as the loop gate
+                # itself, not just the PnP floor (a 6-inlier pose estimate
+                # must never move the map)
                 if self.loop_correction and \
-                        int(pnp_inl) >= self.config.ransac.min_pnp_matches:
+                        int(pnp_inl) >= max(
+                            self.config.ransac.min_pnp_matches,
+                            self.loop_min_inliers):
                     self.tracker_state, self.map_state = \
                         self._apply_loop_fn(
                             self.tracker_state, self.map_state, q_pnp,
@@ -564,6 +571,10 @@ class SLAMSystem:
         self.tracker_state = ts
         self.map_state = ms
         self._n_kf_host = int(ms.keyframes.count)
+        # Keep the host seq counter aligned with the device ring: apply_loop
+        # anchors corrections by seq == next_slot-derived ids, so a restore
+        # without place data must resume the counter from the ring, not 0.
+        self._kf_seq = int(ms.keyframes.count)
         place_path = path + ".place.npz"
         if os.path.exists(place_path):
             data = np.load(place_path)

@@ -22,6 +22,7 @@ the primary is emitted alone (detections default to empty).
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 from typing import Any, Deque, Generic, List, Optional, Tuple, TypeVar
 
@@ -63,34 +64,48 @@ class ApproximateTimeSync:
         self.timeout_entries = timeout_entries
         self._a: Deque[Tuple[float, Any]] = deque(maxlen=queue_size)
         self._b: Deque[Tuple[float, Any]] = deque(maxlen=queue_size)
+        # push_b arrives from the detector thread while the device thread
+        # polls; CPython deques raise on mutation-during-iteration, so all
+        # three entry points share one lock.
+        self._lock = threading.Lock()
 
     def push_a(self, stamp: float, payload: Any) -> None:
-        self._a.append((stamp, payload))
+        with self._lock:
+            self._a.append((stamp, payload))
 
     def push_b(self, stamp: float, payload: Any) -> None:
-        self._b.append((stamp, payload))
+        with self._lock:
+            self._b.append((stamp, payload))
 
-    def poll(self) -> List[Tuple[float, Any, Any]]:
-        out = []
-        while self._a:
-            ta, pa = self._a[0]
-            best_j, best_dt = None, self.slop
-            for j, (tb, _) in enumerate(self._b):
-                dt = abs(tb - ta)
-                if dt <= best_dt:
-                    best_j, best_dt = j, dt
-            if best_j is not None:
-                tb, pb = self._b[best_j]
-                # drop all b entries up to and including the match
-                for _ in range(best_j + 1):
-                    self._b.popleft()
-                self._a.popleft()
-                out.append((ta, pa, pb))
-                continue
-            if self.b_optional and (len(self._a) > self.timeout_entries
-                                    or (self._b and self._b[-1][0] > ta + self.slop)):
-                self._a.popleft()
-                out.append((ta, pa, None))
-                continue
-            break
-        return out
+    def poll(self, flush: bool = False) -> List[Tuple[float, Any, Any]]:
+        """Emit matched pairs.  With ``flush=True`` (end-of-stream), every
+        remaining `a` entry is emitted — paired if a `b` is within slop,
+        else with payload_b=None — so shutdown never strands tail frames."""
+        with self._lock:
+            out = []
+            while self._a:
+                ta, pa = self._a[0]
+                best_j, best_dt = None, self.slop
+                for j, (tb, _) in enumerate(self._b):
+                    dt = abs(tb - ta)
+                    if dt <= best_dt:
+                        best_j, best_dt = j, dt
+                if best_j is not None:
+                    tb, pb = self._b[best_j]
+                    # drop all b entries up to and including the match
+                    for _ in range(best_j + 1):
+                        self._b.popleft()
+                    self._a.popleft()
+                    out.append((ta, pa, pb))
+                    continue
+                if self.b_optional and (len(self._a) > self.timeout_entries
+                                        or (self._b and self._b[-1][0] > ta + self.slop)):
+                    self._a.popleft()
+                    out.append((ta, pa, None))
+                    continue
+                if flush:
+                    self._a.popleft()
+                    out.append((ta, pa, None))
+                    continue
+                break
+            return out

@@ -71,3 +71,43 @@ class YoloDetector:
             category=(raw.classes + 1).astype(jnp.int32),  # 0 = unlabeled
             score=raw.scores,
             mask=raw.valid)
+
+
+def boxes_to_detections(boxes: np.ndarray, capacity: int,
+                        category: str = "person",
+                        score: float = 1.0) -> Detections:
+    """(K,4) [x1,y1,x2,y2] pixel boxes → a padded Detections pytree — the
+    adapter between ground-truth bboxes (io/synthetic.object_bboxes) and the
+    mapping stage's /yolo/tracking-equivalent input."""
+    from dynamic_visual_slam_tpu.semantic.classes import category_id
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    k = min(len(boxes), capacity)
+    b = np.zeros((capacity, 4), np.float32)
+    b[:k] = boxes[:k]
+    cat = np.zeros(capacity, np.int32)
+    cat[:k] = category_id(category)
+    return Detections(boxes=jnp.asarray(b), category=jnp.asarray(cat),
+                      score=jnp.full(capacity, score, jnp.float32),
+                      mask=jnp.asarray(np.arange(capacity) < k))
+
+
+class GTDetector:
+    """Ground-truth 'detector': serves the exact bboxes recorded for each
+    frame timestamp (filled by the frame source).  Same call surface as
+    YoloDetector plus an optional stamp, so it drops into the threaded
+    pipeline's detector thread — detector-in-loop with meaningful boxes and
+    zero pretrained weights."""
+
+    def __init__(self, cfg: SLAMConfig):
+        self.capacity = cfg.semantic.max_detections
+        self._by_stamp: Dict[float, np.ndarray] = {}
+
+    def record(self, stamp: float, boxes: np.ndarray) -> None:
+        self._by_stamp[round(float(stamp), 6)] = np.asarray(boxes, np.float32)
+
+    def __call__(self, rgb: np.ndarray,
+                 stamp: Optional[float] = None) -> Detections:
+        boxes = self._by_stamp.get(round(float(stamp), 6),
+                                   np.zeros((0, 4), np.float32)) \
+            if stamp is not None else np.zeros((0, 4), np.float32)
+        return boxes_to_detections(boxes, self.capacity)

@@ -98,6 +98,86 @@ class TestBAOracle:
         assert t_diff.max() < 5e-3, t_diff
         assert ang_deg.max() < 0.05, ang_deg
 
+    @pytest.mark.slow
+    def test_matches_f64_oracle_shipped_scale(self):
+        """The SHIPPED solve size (w=8 window, 512 landmarks —
+        config.ba.window_size=8, run_ba max_landmarks=512): the f32 Schur
+        system is 48x48 with 8x the landmarks of the small tests; pin its
+        accuracy against the f64 oracle at that scale (VERDICT r2 missing
+        #2)."""
+        problem, gt = make_problem(20, w=8, l=512, noise_px=0.2,
+                                   drop_frac=0.15)
+        res = ba.optimize(K, problem, CFG_NOPRIOR)
+        orc = ba_cpu.solve(
+            np.asarray(problem.q_wc), np.asarray(problem.t_wc),
+            np.asarray(problem.xyz), np.asarray(problem.uv),
+            np.asarray(problem.valid),
+            float(K.fx), float(K.fy), float(K.cx), float(K.cy),
+            sigma=CFG.ba.sigma_px, huber_delta=CFG.ba.huber_delta)
+        rel = abs(float(res.final_cost) - orc.cost) / orc.cost
+        assert rel < 0.01, (float(res.final_cost), orc.cost)
+        t_diff, ang_deg = _pose_diff(res, orc)
+        assert t_diff.max() < 5e-3, t_diff
+        assert ang_deg.max() < 0.05, ang_deg
+
+    @pytest.mark.slow
+    def test_live_pipeline_window_matches_oracle(self):
+        """Oracle parity on a window EXTRACTED FROM A LIVE PIPELINE RUN
+        (not make_problem's synthetic grid): real keyframe ring, real
+        association/triangulation landmarks, real observation rings —
+        the exact problem run_ba ships to the solver."""
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from dynamic_visual_slam_tpu.config import (CameraConfig, MapConfig,
+                                                    SLAMConfig)
+        from dynamic_visual_slam_tpu.io import synthetic
+        from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
+
+        cam = CameraConfig(width=160, height=120, fx=130.0, fy=130.0,
+                           cx=79.5, cy=59.5)
+        base = SLAMConfig()
+        cfg = base.replace(
+            camera=cam,
+            keyframe=dc.replace(base.keyframe, max_frames_between_kf=5),
+            map=MapConfig(max_landmarks=1024, max_keyframes=8,
+                          max_obs_per_landmark=6, max_obs_per_keyframe=256))
+        slam = SLAMSystem(cfg, ba_async=False,
+                          enable_place_recognition=False)
+        for gray, depth, _, _, ts in synthetic.generate_sequence(
+                cam, 60, seed=9, depth_noise=0.004):
+            slam.process(gray, depth, ts)
+        slam.finalize()
+        assert slam.stats["keyframes"] >= 6
+
+        problem, _, _ = ba.extract_window(cfg, slam.map_state,
+                                          max_landmarks=256)
+        k = slam._k
+        nop = dc.replace(cfg.ba, pose_prior_sigma_rot=0.0,
+                         pose_prior_sigma_t=0.0, point_prior_sigma=0.0,
+                         max_iterations=40)
+        res = ba.optimize(k, problem, nop)
+
+        # compress to active landmarks/keyframes for the dense f64 oracle
+        act = np.asarray(problem.lm_active)
+        kfa = np.asarray(problem.kf_active)
+        valid = np.asarray(problem.valid) & act[:, None] & kfa[None, :]
+        sel = valid.any(axis=1)
+        orc = ba_cpu.solve(
+            np.asarray(problem.q_wc), np.asarray(problem.t_wc),
+            np.asarray(problem.xyz)[sel], np.asarray(problem.uv)[sel],
+            valid[sel],
+            float(k.fx), float(k.fy), float(k.cx), float(k.cy),
+            sigma=cfg.ba.sigma_px, huber_delta=cfg.ba.huber_delta)
+        assert orc.cost > 0
+        rel = abs(float(res.final_cost) - orc.cost) / orc.cost
+        assert rel < 0.015, (float(res.final_cost), orc.cost)
+        # rotations are gauge-invariant — compare directly
+        dots = np.abs(np.sum(np.asarray(res.q_wc) * orc.q_wc, axis=1))
+        ang = 2 * np.degrees(np.arccos(np.clip(dots, -1, 1)))
+        assert ang[kfa].max() < 0.1, ang
+
     def test_default_config_near_oracle(self):
         """The SHIPPING config (decayed priors on): on a well-observed
         window the decayed priors must not pull the solution off the

@@ -95,3 +95,42 @@ def test_queue_drops_under_pressure():
     assert stats["frames_processed"] >= 2
     assert stats["frames_processed"] + stats["queue_dropped"] >= \
         stats["frames_in"] - 2
+
+
+def test_queue_backpressure_drop_oldest():
+    """REAL backpressure (frontend.cpp:178 depth-N QoS): a throttled
+    consumer against an instant producer with queue_depth=2 must drop the
+    OLDEST frames — the newest frame always survives — and the drop
+    accounting must balance exactly."""
+    import time
+
+    frames = _frames(20)
+    inner = SLAMSystem(CFG, ba_async=False, enable_place_recognition=False)
+
+    class SlowConsumer:
+        """system shim: sleeps before each process() so the producer
+        laps the depth-2 queue many times over."""
+
+        config = CFG
+
+        def process(self, *a, **k):
+            time.sleep(0.08)
+            return inner.process(*a, **k)
+
+        def finalize(self):
+            inner.finalize()
+
+    runner = ThreadedPipeline(SlowConsumer(), queue_depth=2)
+    stats = runner.run(iter(frames))
+
+    assert stats["frames_in"] == len(frames)
+    assert stats["queue_dropped"] > 0, "no pressure was generated"
+    # exact accounting: every input frame was either processed or dropped
+    assert stats["frames_processed"] + stats["queue_dropped"] == \
+        stats["frames_in"]
+    processed_ts = [f.timestamp for f in inner.trajectory]
+    # drop-OLDEST ordering: the newest frame survives the flood (a
+    # drop-newest queue would keep only the earliest frames instead)
+    assert frames[-1][2] in processed_ts
+    # and the survivors arrive in order
+    assert processed_ts == sorted(processed_ts)
