@@ -157,7 +157,7 @@ def _run() -> None:
     # via process_batch (24-frame scan) with drains every 3 batches — the
     # tunnel charges ~0.1-1 s per device sync, so sync sparingly.
     sys_ = SLAMSystem(cfg, ba_async=True, enable_place_recognition=False,
-                      sync_every=1)
+                      sync_every=3)
     np_frames = [(np.asarray(g, np.float32).astype(np.uint8),
                   (np.asarray(d) * 1000.0).astype(np.uint16))
                  for g, d, _ in frames]

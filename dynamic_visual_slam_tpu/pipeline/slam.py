@@ -314,8 +314,13 @@ class SLAMSystem:
         and drains at finalize()."""
         if self._last_ba_t is None:
             self._last_ba_t = ts_rel
+        # gate on FRAMES, not the drained keyframe mirror: frames 0 and 1
+        # are always keyframes (reference quirk, tracker.py), so after two
+        # processed frames the device window is valid — and _n_kf_host only
+        # updates on result drains, which a large sync_every defers (BA
+        # cadence must not depend on telemetry reads)
         if (ts_rel - self._last_ba_t >= self.config.ba.period_s
-                and self._n_kf_host >= 2):
+                and (self._n_kf_host >= 2 or self.stats["frames"] >= 2)):
             self._last_ba_t = ts_rel
             if self.ba_feedback:
                 self.map_state, self.tracker_state, res = self._run_ba_fb(
