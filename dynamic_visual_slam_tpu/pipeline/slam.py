@@ -143,13 +143,27 @@ class SLAMSystem:
         def run_ba_fb(mstate, tstate):
             """BA + tracker feedback: left-compose the newest keyframe's
             BA correction onto the live tracker pose (identity when the
-            solve was rejected — apply_result leaves poses unchanged)."""
+            solve was rejected — apply_result leaves poses unchanged).
+
+            Magnitude gate: a 2 s window's refinement should move the
+            newest pose by millimetres; a large correction means the
+            window was poisoned (sparse associations, degenerate
+            geometry) and feeding it into the live tracker amplifies the
+            excursion instead of damping it (measured on the hard
+            640x480 parity seed: unguarded feedback 0.238 m ATE vs
+            0.193 m without feedback). Corrections > 0.15 m / 0.1 rad
+            are discarded for the TRACKER (the window write-back keeps
+            its own cost-improvement gate)."""
             new_m, res = ba_mod.run_ba(cfg, self._k, mstate)
             slot = jnp.mod(mstate.keyframes.next_slot - 1, f_cap)
             q_oi, t_oi = lie.se3_inverse(mstate.keyframes.q[slot],
                                          mstate.keyframes.t[slot])
             q_c, t_c = lie.se3_compose(new_m.keyframes.q[slot],
                                        new_m.keyframes.t[slot], q_oi, t_oi)
+            ok = (jnp.linalg.norm(t_c) < 0.15) \
+                & (jnp.linalg.norm(lie.so3_log(q_c)) < 0.1)
+            q_c = jnp.where(ok, q_c, lie.quat_identity())
+            t_c = jnp.where(ok, t_c, jnp.zeros(3))
             tstate = tstate._replace(
                 q_wc=lie.quat_normalize(lie.quat_mul(q_c, tstate.q_wc)),
                 t_wc=lie.quat_rotate(q_c, tstate.t_wc) + t_c)
