@@ -172,26 +172,28 @@ def associate(cfg: SLAMConfig, k: Intrinsics, lm: LandmarkMap,
 # Multi-view triangulation (LandmarkInfo::triangulate, backend.cpp:439-613)
 # ---------------------------------------------------------------------------
 
-def triangulate_all(cfg: SLAMConfig, k: Intrinsics, lm: LandmarkMap,
-                    kdb: KeyframeDB) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched N-view DLT over every landmark's observation ring.
+def triangulate_rings(cfg: SLAMConfig, k: Intrinsics, obs_uv: jnp.ndarray,
+                      obs_kf: jnp.ndarray, obs_valid: jnp.ndarray,
+                      active: jnp.ndarray, kdb: KeyframeDB
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched N-view DLT over (N, M) observation rings.
 
-    → (xyz (L,3), accept (L,)).  Gates (backend.cpp:517,599,610): max pairwise
+    → (xyz (N,3), accept (N,)).  Gates (backend.cpp:517,599,610): max pairwise
     parallax >= 5°, mean reprojection <= 2 px, 0.1 < z_cam < 10 in the newest
     observing keyframe.  Uses the CORRECT projection P = K[Rᵀ|−Rᵀt].
     """
-    l, m = lm.obs_kf.shape
+    l, m = obs_kf.shape
     f_cap = kdb.q.shape[0]
-    slots = lm.obs_kf % f_cap
+    slots = obs_kf % f_cap
     q_kf = kdb.q[slots]                     # (L, M, 4)
     t_kf = kdb.t[slots]                     # (L, M, 3)
     # exclude observations whose keyframe slot has been recycled by the ring
-    live = lm.obs_kf >= (kdb.next_slot - f_cap)
-    valid = lm.obs_valid & live              # (L, M)
+    live = obs_kf >= (kdb.next_slot - f_cap)
+    valid = obs_valid & live                 # (L, M)
 
     # normalized image coords of each observation
-    xn = (lm.obs_uv[..., 0] - k.cx) / k.fx
-    yn = (lm.obs_uv[..., 1] - k.cy) / k.fy
+    xn = (obs_uv[..., 0] - k.cx) / k.fx
+    yn = (obs_uv[..., 1] - k.cy) / k.fy
 
     # world→camera rows: Rᵀ, −Rᵀt
     r_wc = lie.quat_to_mat(q_kf)            # (L, M, 3, 3) camera-to-world
@@ -223,21 +225,28 @@ def triangulate_all(cfg: SLAMConfig, k: Intrinsics, lm: LandmarkMap,
     z = xc[..., 2]
     up = k.fx * xc[..., 0] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z) + k.cx
     vp = k.fy * xc[..., 1] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z) + k.cy
-    err = jnp.sqrt((up - lm.obs_uv[..., 0]) ** 2 + (vp - lm.obs_uv[..., 1]) ** 2)
+    err = jnp.sqrt((up - obs_uv[..., 0]) ** 2 + (vp - obs_uv[..., 1]) ** 2)
     nv = jnp.maximum(jnp.sum(valid, axis=1), 1)
     mean_err = jnp.sum(jnp.where(valid, err, 0.0), axis=1) / nv
     behind = jnp.any(valid & (z <= 0.0), axis=1)
 
     # depth gate in the newest observing keyframe
-    newest = jnp.argmax(jnp.where(valid, lm.obs_kf, -1), axis=1)
+    newest = jnp.argmax(jnp.where(valid, obs_kf, -1), axis=1)
     z_new = jnp.take_along_axis(z, newest[:, None], axis=1)[:, 0]
     depth_ok = (z_new > cfg.triangulation.min_depth) & \
         (z_new < cfg.triangulation.max_depth)
 
-    accept = lm.active & (jnp.sum(valid, axis=1) >= 2) & parallax_ok \
+    accept = active & (jnp.sum(valid, axis=1) >= 2) & parallax_ok \
         & (mean_err <= cfg.triangulation.max_reprojection_px) \
         & depth_ok & ~behind
     return xyz, accept
+
+
+def triangulate_all(cfg: SLAMConfig, k: Intrinsics, lm: LandmarkMap,
+                    kdb: KeyframeDB) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-map N-view DLT (every landmark's ring) — see triangulate_rings."""
+    return triangulate_rings(cfg, k, lm.obs_uv, lm.obs_kf, lm.obs_valid,
+                             lm.active, kdb)
 
 
 # ---------------------------------------------------------------------------
@@ -340,8 +349,20 @@ def insert_keyframe(cfg: SLAMConfig, state: MapState, kf: KeyframeBlock,
         next_slot=kdb.next_slot + 1, count=kdb.count + 1)
 
     # --- triangulation refinement (backend.cpp:763-772) ------------------
-    new_xyz, tri_ok = triangulate_all(cfg, k, lm, kdb)
-    lm = lm._replace(xyz=jnp.where(tri_ok[:, None], new_xyz, lm.xyz))
+    # The reference triangulates ONLY the landmark each observation touched
+    # (per-observation triangulate call); mirroring that keeps the DLT batch
+    # at (C, M) instead of (L, M) — ~L/C times less work per insert for
+    # identical results (untouched landmarks' rings and the keyframe poses
+    # they reference are unchanged, so their DLT solution is unchanged; BA
+    # and loop corrections maintain their positions separately).
+    touched = jnp.where(matched, assoc_idx,
+                        jnp.where(can_alloc, dest, l_cap))    # (C,)
+    tg = jnp.clip(touched, 0, l_cap - 1)                      # safe gather
+    new_xyz, tri_ok = triangulate_rings(
+        cfg, k, lm.obs_uv[tg], lm.obs_kf[tg], lm.obs_valid[tg],
+        lm.active[tg] & (touched < l_cap), kdb)
+    lm = lm._replace(xyz=lm.xyz.at[jnp.where(tri_ok, touched, l_cap)].set(
+        new_xyz, mode="drop"))
 
     stats = dict(
         n_obs_kept=jnp.sum(obs_keep.astype(jnp.int32)),

@@ -236,11 +236,22 @@ def _gauss_newton_refine(k: Intrinsics, q0, t0, xyz, uv, w, iters: int):
 def pnp_ransac(k: Intrinsics, xyz: jnp.ndarray, uv: jnp.ndarray,
                mask: jnp.ndarray, key: jax.Array, n_hyp: int = 128,
                threshold: float = 4.0, min_inliers: int = 6,
-               refine_iters: int = 10) -> PnPResult:
+               refine_iters: int = 10,
+               prior_q: jnp.ndarray | None = None,
+               prior_t: jnp.ndarray | None = None) -> PnPResult:
     """xyz: (K,3) object-frame points; uv: (K,2) observed pixels; mask valid.
 
     Equivalent of cv::solvePnPRansac + iterative refinement on the inlier set
     (frontend.cpp:911-923).
+
+    prior_q/prior_t (optional): a predicted pose (same convention as the
+    result: X_cam = R X + t) injected into the hypothesis pool alongside an
+    identity hypothesis, scored against the random minimal-set draws by the
+    same inlier count.  On fast motion the DLT-6 minimal solutions are noisy
+    and their inlier sets biased; a constant-velocity prediction that scores
+    more inliers than every random draw then seeds the refinement instead.
+    When the prediction is worse it simply loses the argmax — injection
+    never degrades the inlier score of the selected hypothesis.
     """
     count = jnp.sum(mask.astype(jnp.int32))
     order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)
@@ -251,6 +262,11 @@ def pnp_ransac(k: Intrinsics, xyz: jnp.ndarray, uv: jnp.ndarray,
 
     samples = _sample_indices(key, n_hyp, 6, count)
     rs, ts = jax.vmap(_dlt_pose)(cxyz[samples], cxn[samples])    # (N,3,3),(N,3)
+    if prior_q is not None:
+        rs = jnp.concatenate(
+            [rs, lie.quat_to_mat(prior_q)[None], jnp.eye(3)[None]], axis=0)
+        ts = jnp.concatenate(
+            [ts, prior_t[None], jnp.zeros((1, 3), ts.dtype)], axis=0)
     errs = jax.vmap(lambda r, t: _reproj_errors(k, r, t, xyz, uv))(rs, ts)
     inl = (errs < threshold) & mask[None, :]
     scores = jnp.sum(inl, axis=1)

@@ -60,6 +60,8 @@ class TrackerState(NamedTuple):
     frames_since_kf: jnp.ndarray  # () int32
     frame_idx: jnp.ndarray       # () int32
     rng: jax.Array
+    q_rel: jnp.ndarray           # (4,) last accepted prev→curr PnP transform
+    t_rel: jnp.ndarray           # (3,) — constant-velocity prior for PnP
 
 
 class TrackOutput(NamedTuple):
@@ -89,7 +91,8 @@ def init_state(cfg: SLAMConfig) -> TrackerState:
         kf_desc_bits=jnp.zeros((c, 256), jnp.uint8),
         kf_mask=jnp.zeros(c, bool), has_kf=jnp.asarray(False),
         frames_since_kf=jnp.asarray(0, jnp.int32),
-        frame_idx=jnp.asarray(0, jnp.int32), rng=jax.random.key(0))
+        frame_idx=jnp.asarray(0, jnp.int32), rng=jax.random.key(0),
+        q_rel=lie.quat_identity(), t_rel=jnp.zeros(3, jnp.float32))
 
 
 def _depth_at(depth_m: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -187,11 +190,15 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     pnp_ok_pts = fm_inlier & (z_prev > cfg.depth.min_depth) & \
         (z_prev <= cfg.depth.max_depth)
     xyz_prev = cam.backproject(k, uv_prev, z_prev)
+    # constant-velocity prior: last accepted prev→curr transform (plus an
+    # identity hypothesis) joins the random hypothesis pool — rescues fast-
+    # motion frames whose DLT-6 minimal sets are all noise-biased
     pnp = ransac.pnp_ransac(k, xyz_prev, kps.uv, pnp_ok_pts, k_pnp,
                             n_hyp=cfg.ransac.pnp_iterations,
                             threshold=cfg.ransac.pnp_threshold_px,
                             min_inliers=cfg.ransac.min_pnp_matches,
-                            refine_iters=cfg.ransac.refine_iterations)
+                            refine_iters=cfg.ransac.refine_iterations,
+                            prior_q=state.q_rel, prior_t=state.t_rel)
 
     # pnp gives T mapping prev-camera coords → current camera; invert to get
     # the current camera's pose in the previous frame (frontend.cpp:930-938)
@@ -248,7 +255,9 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
         # frontend.cpp:603-605), so frames 0 AND 1 both become keyframes
         has_kf=state.has_kf | (is_kf & state.has_prev),
         frames_since_kf=jnp.where(is_kf, 0, state.frames_since_kf + 1),
-        frame_idx=state.frame_idx + 1, rng=rng)
+        frame_idx=state.frame_idx + 1, rng=rng,
+        q_rel=jnp.where(accept, pnp.q, state.q_rel),
+        t_rel=jnp.where(accept, pnp.t, state.t_rel))
 
     out = TrackOutput(
         q_wc=q_wc, t_wc=t_wc, tracking_ok=accept, n_features=n_feat,

@@ -47,6 +47,10 @@ def _rebuild(cls, prefix: str, data, template) -> Any:
     for name in cls._fields:
         key = f"{prefix}/{name}"
         tmpl = getattr(template, name)
+        if not (isinstance(tmpl, tuple) and hasattr(tmpl, "_fields")) \
+                and key not in data:
+            vals.append(tmpl)   # field added after the snapshot was written
+            continue
         if isinstance(tmpl, tuple) and hasattr(tmpl, "_fields"):
             vals.append(_rebuild(type(tmpl), key, data, tmpl))
         else:

@@ -101,6 +101,42 @@ class TestPnP:
                                 jnp.zeros(32, bool), jax.random.key(0))
         assert not bool(res.valid)
 
+    def test_prior_hypothesis_rescues_starved_ransac(self):
+        """A constant-velocity prior injected into the hypothesis pool wins
+        when the random draws are starved (tiny n_hyp, heavy outliers) —
+        the fast-motion excursion fix (tracker.py passes the last accepted
+        relative transform as prior_q/prior_t)."""
+        pts, uv1, uv2, r_gt, t_gt, gt_in = make_scene(7, outlier_frac=0.6)
+        q_gt = lie.mat_to_quat(jnp.asarray(r_gt, jnp.float32))
+        args = (jnp.asarray(pts), jnp.asarray(uv2), jnp.ones(len(pts), bool),
+                jax.random.key(9))
+        # starved: 2 hypotheses, 60% outliers → P(clean 6-sample) ≈ 0.4^6
+        bare = ransac.pnp_ransac(K, *args, n_hyp=2)
+        with_prior = ransac.pnp_ransac(
+            K, *args, n_hyp=2, prior_q=q_gt,
+            prior_t=jnp.asarray(t_gt, jnp.float32))
+        assert int(with_prior.n_inliers) >= int(bare.n_inliers)
+        r = np.asarray(lie.quat_to_mat(with_prior.q))
+        rot_err = np.rad2deg(np.arccos(
+            np.clip((np.trace(r.T @ r_gt) - 1) / 2, -1, 1)))
+        assert rot_err < 0.5, rot_err
+        assert np.linalg.norm(np.asarray(with_prior.t) - t_gt) < 0.05
+
+    def test_bad_prior_is_harmless(self):
+        """A wildly wrong prior just loses the inlier argmax — result matches
+        the prior-free estimate."""
+        pts, uv1, uv2, r_gt, t_gt, gt_in = make_scene(8)
+        args = (jnp.asarray(pts), jnp.asarray(uv2), jnp.ones(len(pts), bool),
+                jax.random.key(10))
+        bare = ransac.pnp_ransac(K, *args)
+        off = ransac.pnp_ransac(
+            K, *args, prior_q=lie.quat_identity(),
+            prior_t=jnp.asarray([5.0, -3.0, 2.0]))
+        np.testing.assert_allclose(np.asarray(off.q), np.asarray(bare.q),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(off.t), np.asarray(bare.t),
+                                   atol=1e-5)
+
     def test_pose_convention_object_to_camera(self):
         """X_cam = R X + t: a camera at origin looking at +z with points ahead."""
         rng = np.random.default_rng(4)
