@@ -73,7 +73,7 @@ class TrackOutput(NamedTuple):
     n_inliers: jnp.ndarray       # () int32 fundamental inliers
     n_pnp_inliers: jnp.ndarray
     is_keyframe: jnp.ndarray     # () bool
-    keyframe: KeyframeBlock      # payload valid iff is_keyframe
+    keyframe: KeyframeBlock      # built every frame; INSERT iff is_keyframe
 
 
 def init_state(cfg: SLAMConfig) -> TrackerState:
@@ -224,9 +224,12 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     # quality deviation from the reference (docs/PARITY.md): the reference
     # publishes keyframes even when PnP failed / the motion gate tripped,
     # backprojecting current pixels through the STALE pose — corrupting the
-    # map exactly when tracking is weakest.  Require a tracked pose (or the
-    # bootstrap frames) before emitting a keyframe.
-    is_kf = is_kf & ~lost & (accept | ~state.has_prev)
+    # map exactly when tracking is weakest.  Require a tracked pose before
+    # emitting a keyframe; the prev-less bootstrap branch applies only
+    # before the FIRST keyframe exists (~has_kf), never after a mid-run
+    # tracking reset, whose recovery frame would otherwise anchor a
+    # keyframe at the stale frozen pose.
+    is_kf = is_kf & ~lost & (accept | (~state.has_prev & ~state.has_kf))
 
     # --- keyframe payload: culled features + world positions ----------------
     keep = _select_keyframe_features(cfg, kps, fm_inlier)
@@ -238,10 +241,14 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     sel_valid = jnp.take(keep, sel_idx)
     xyz_c = cam.backproject(k, kps.uv[sel_idx], z[sel_idx])
     xyz_w = cam.camera_to_world(q_wc, t_wc, xyz_c)
+    # mask marks this frame's selected features regardless of is_kf (every
+    # consumer of the block gates on out.is_keyframe; keeping the payload
+    # live on non-keyframes lets relocalization query BoW with the current
+    # frame's descriptors after a tracking loss)
     kf_block = KeyframeBlock(
         q_wc=q_wc, t_wc=t_wc, uv=kps.uv[sel_idx], xyz_w=xyz_w,
         desc_bits=kps.desc_bits[sel_idx], desc_packed=kps.desc_packed[sel_idx],
-        response=kps.response[sel_idx], mask=sel_valid & is_kf,
+        response=kps.response[sel_idx], mask=sel_valid,
         frame_idx=state.frame_idx, timestamp=timestamp)
 
     # --- state update (frontend.cpp:1258-1275) ------------------------------

@@ -83,6 +83,16 @@ class SLAMSystem:
     # keyframe ring (tangent-interpolated by keyframe age) + landmarks +
     # the live tracker pose
     loop_correction: bool = True
+    # Relocalization after tracking loss (new capability — the reference
+    # only freezes the pose, frontend.cpp:925-944): after reloc_after
+    # consecutive tracking failures, the current frame's descriptors query
+    # the BoW database; the best candidate is geometrically verified with
+    # the same machinery as loop closures (Hamming match + F-RANSAC + PnP
+    # against the stored keyframe's world points), and on consensus the
+    # pose correction T_pnp ∘ T_frozen⁻¹ re-anchors the live tracker.
+    enable_relocalization: bool = True
+    reloc_after: int = 3               # consecutive failed frames to trigger
+    reloc_min_features: int = 50       # need features to query/verify
 
     def __post_init__(self):
         cfg = self.config
@@ -219,6 +229,21 @@ class SLAMSystem:
             return tstate, mstate._replace(keyframes=kdb, landmarks=lm)
 
         self._apply_loop_fn = jax.jit(apply_loop)
+
+        def apply_reloc(tstate, q_pnp, t_pnp, q_froz, t_froz):
+            """Re-anchor the live tracker after a verified relocalization:
+            T_corr = T_pnp ∘ T_frozen⁻¹ left-composes onto the CURRENT pose,
+            so relative tracking resumed since the queried frame is
+            preserved (T_now = T_frozen ∘ ΔT  →  T_pnp ∘ ΔT). No magnitude
+            gate — relocalization corrections are legitimately large; the
+            defense is the loop-grade PnP consensus demanded at harvest."""
+            q_fi, t_fi = lie.se3_inverse(q_froz, t_froz)
+            q_c, t_c = lie.se3_compose(q_pnp, t_pnp, q_fi, t_fi)
+            return tstate._replace(
+                q_wc=lie.quat_normalize(lie.quat_mul(q_c, tstate.q_wc)),
+                t_wc=lie.quat_rotate(q_c, tstate.t_wc) + t_c)
+
+        self._apply_reloc_fn = jax.jit(apply_reloc)
         self._prune = jax.jit(
             lambda lm, now: mapping.prune(cfg, lm, now))
         self._filtered = filtered_mask(cfg)
@@ -240,8 +265,11 @@ class SLAMSystem:
         self._kf_seq = 0
         self._pending_loops: List[Any] = []
         self._verify_loop_fn = None
+        self._lost_streak = 0
+        self._pending_reloc: Optional[Tuple[Any, Any, Any, float]] = None
+        self.reloc_log: List[Dict[str, Any]] = []
         self.stats = dict(frames=0, keyframes=0, ba_runs=0, ba_converged=0,
-                          loop_candidates=0)
+                          loop_candidates=0, relocalizations=0)
 
     # ------------------------------------------------------------------
     def process(self, gray: np.ndarray, depth_m: np.ndarray, timestamp: float,
@@ -355,6 +383,7 @@ class SLAMSystem:
         microbatches) in ONE device-to-host transfer; run the host-side
         keyframe bookkeeping (stats, place recognition) for the frames
         that were keyframes."""
+        self._harvest_reloc()
         if not self._pending_out:
             return []
         pending, self._pending_out = self._pending_out, []
@@ -380,6 +409,15 @@ class SLAMSystem:
             is_keyframe=is_kf, n_features=int(n_feat),
             n_matches=int(n_match), n_inliers=int(n_inl))
         self.trajectory.append(fr)
+        if fr.tracking_ok:
+            self._lost_streak = 0
+        else:
+            self._lost_streak += 1
+            if (self.enable_relocalization and self._bow_db is not None
+                    and self._pending_reloc is None
+                    and self._lost_streak >= self.reloc_after
+                    and fr.n_features >= self.reloc_min_features):
+                self._dispatch_reloc(fr, out, batch_idx)
         if is_kf:
             self.stats["keyframes"] += 1
             self._n_kf_host += 1
@@ -475,6 +513,14 @@ class SLAMSystem:
     def _dispatch_verify(self, entry: int, cand: int):
         """Enqueue the geometric check (Hamming matmul + F-RANSAC) on device;
         returns the un-materialized scalar."""
+        self._ensure_verify_fn()
+        _, d1, uv1, m1, _, q1, t1 = self._kf_store[entry]
+        _, d2, uv2, m2, xyz2, _, _ = self._kf_store[cand]
+        key = jax.random.key(entry * 9973 + cand)
+        return self._verify_loop_fn(d1, uv1, m1, q1, t1, d2, uv2, m2, xyz2,
+                                    key)  # returns (n_inl, q_pnp, t_pnp, n)
+
+    def _ensure_verify_fn(self) -> None:
         from dynamic_visual_slam_tpu.frontend import ransac
         from dynamic_visual_slam_tpu.ops import hamming
 
@@ -509,11 +555,56 @@ class SLAMSystem:
 
             self._verify_loop_fn = jax.jit(fn)
 
-        _, d1, uv1, m1, _, q1, t1 = self._kf_store[entry]
-        _, d2, uv2, m2, xyz2, _, _ = self._kf_store[cand]
-        key = jax.random.key(entry * 9973 + cand)
-        return self._verify_loop_fn(d1, uv1, m1, q1, t1, d2, uv2, m2, xyz2,
-                                    key)  # returns (n_inl, q_pnp, t_pnp, n)
+    def _dispatch_reloc(self, fr: FrameResult, out, batch_idx) -> None:
+        """Query the BoW DB with the LOST frame's descriptors (not added to
+        the DB) and enqueue geometric verification against the best-scoring
+        stored keyframe — the relocalization analogue of _find_loops, reusing
+        the identical verification program. The frame's frozen telemetry pose
+        rides along so harvest can form T_corr = T_pnp ∘ T_frozen⁻¹."""
+        kf = out.keyframe if batch_idx is None else \
+            jax.tree_util.tree_map(lambda a: a[batch_idx], out.keyframe)
+        desc = np.asarray(kf.desc_bits)[np.asarray(kf.mask)]
+        if len(desc) < self.reloc_min_features:
+            return
+        res = self._bow_db.query(jnp.asarray(desc), top_k=3)
+        for i in range(3):
+            if not bool(res.valid[i]):
+                continue
+            cand, score = int(res.entry_ids[i]), float(res.scores[i])
+            if cand not in self._kf_store or score < self.loop_min_score:
+                continue
+            self._ensure_verify_fn()
+            _, d2, uv2, m2, xyz2, _, _ = self._kf_store[cand]
+            key = jax.random.key(self.stats["frames"] * 7919 + cand)
+            verdict = self._verify_loop_fn(
+                kf.desc_bits, kf.uv, kf.mask, kf.q_wc, kf.t_wc,
+                d2, uv2, m2, xyz2, key)
+            self._pending_reloc = (
+                verdict, jnp.asarray(fr.q_wc), jnp.asarray(fr.t_wc),
+                dict(timestamp=fr.timestamp, score=round(score, 4),
+                     candidate=self._kf_store[cand][0]))
+            return
+
+    def _harvest_reloc(self) -> None:
+        if self._pending_reloc is None:
+            return
+        verdict, q_froz, t_froz, rec = self._pending_reloc
+        self._pending_reloc = None
+        n_inl, q_pnp, t_pnp, pnp_inl = verdict
+        rec["inliers"] = int(n_inl)
+        rec["pnp_inliers"] = int(pnp_inl)
+        # loop-grade consensus: re-anchoring the live pose is as invasive as
+        # a drift correction, so demand the same strength as _harvest_loops
+        ok = rec["inliers"] >= self.loop_min_inliers and \
+            rec["pnp_inliers"] >= max(self.config.ransac.min_pnp_matches,
+                                      self.loop_min_inliers)
+        rec["applied"] = ok
+        self.reloc_log.append(rec)
+        if ok:
+            self.tracker_state = self._apply_reloc_fn(
+                self.tracker_state, q_pnp, t_pnp, q_froz, t_froz)
+            self.stats["relocalizations"] += 1
+            self._lost_streak = 0
 
     def _harvest_loops(self) -> None:
         for rec, verdict, cand_seq, entry_seq in self._pending_loops:
@@ -550,6 +641,7 @@ class SLAMSystem:
             self._record_ba(res, ts)
         self._pending_ba_results = []
         self._harvest_loops()
+        self._harvest_reloc()
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
