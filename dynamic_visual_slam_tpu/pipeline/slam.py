@@ -83,6 +83,12 @@ class SLAMSystem:
     # keyframe ring (tangent-interpolated by keyframe age) + landmarks +
     # the live tracker pose
     loop_correction: bool = True
+    # Consume loops through a dense pose-graph solve over the keyframe
+    # ring (backend/pose_graph.py) instead of the age-interpolated
+    # correction: odometry edges + the loop's absolute constraint,
+    # Gauss-Newton on the (6F,6F) dense normal system — the production
+    # SLAM treatment, and a tiny exact solve at ring capacity
+    loop_pgo: bool = False
     # Relocalization after tracking loss (new capability — the reference
     # only freezes the pose, frontend.cpp:925-944): after reloc_after
     # consecutive tracking failures, the current frame's descriptors query
@@ -229,6 +235,50 @@ class SLAMSystem:
             return tstate, mstate._replace(keyframes=kdb, landmarks=lm)
 
         self._apply_loop_fn = jax.jit(apply_loop)
+
+        def apply_loop_pgo(tstate, mstate, q_pnp, t_pnp, cand_seq,
+                           entry_seq):
+            """Pose-graph variant of apply_loop (loop_pgo=True): the ring
+            poses come from a dense Gauss-Newton over odometry edges + the
+            loop's absolute constraint (backend/pose_graph.py); landmarks
+            follow their newest observing keyframe's world-frame
+            correction; the live tracker follows the newest keyframe.
+            Same entry-correction magnitude gate as apply_loop."""
+            from dynamic_visual_slam_tpu.backend import pose_graph
+
+            kdb = mstate.keyframes
+            s = jnp.arange(f_cap)
+            newest = kdb.next_slot - 1
+            seq = newest - jnp.mod(newest - s, f_cap)
+            entry_hit = (seq == entry_seq) & kdb.active
+            slot = jnp.argmax(entry_hit)
+            q_ei, t_ei = lie.se3_inverse(kdb.q[slot], kdb.t[slot])
+            q_raw, t_raw = lie.se3_compose(q_pnp, t_pnp, q_ei, t_ei)
+            res = pose_graph.optimize_ring(
+                kdb.q, kdb.t, kdb.active, seq, q_pnp, t_pnp,
+                entry_seq, cand_seq)
+            ok = jnp.any(entry_hit) & res.ok \
+                & (jnp.linalg.norm(t_raw) < 1.0) \
+                & (jnp.linalg.norm(lie.so3_log(q_raw)) < 0.5)
+            kdb = kdb._replace(q=jnp.where(ok, res.q, kdb.q),
+                               t=jnp.where(ok, res.t, kdb.t))
+            lm = mstate.landmarks
+            lm_seq = jnp.max(jnp.where(lm.obs_valid, lm.obs_kf, -1), axis=1)
+            live = lm_seq >= (mstate.keyframes.next_slot - f_cap)
+            lslot = jnp.mod(jnp.maximum(lm_seq, 0), f_cap)
+            xyz = lie.quat_rotate(res.q_corr[lslot], lm.xyz) \
+                + res.t_corr[lslot]
+            move = ok & lm.active & live & (lm_seq >= 0)
+            lm = lm._replace(xyz=jnp.where(move[:, None], xyz, lm.xyz))
+            ns = jnp.mod(mstate.keyframes.next_slot - 1, f_cap)
+            q_tc = jnp.where(ok, res.q_corr[ns], lie.quat_identity())
+            t_tc = jnp.where(ok, res.t_corr[ns], jnp.zeros(3))
+            tstate = tstate._replace(
+                q_wc=lie.quat_normalize(lie.quat_mul(q_tc, tstate.q_wc)),
+                t_wc=lie.quat_rotate(q_tc, tstate.t_wc) + t_tc)
+            return tstate, mstate._replace(keyframes=kdb, landmarks=lm)
+
+        self._apply_loop_pgo_fn = jax.jit(apply_loop_pgo)
 
         def apply_reloc(tstate, q_pnp, t_pnp, q_froz, t_froz):
             """Re-anchor the live tracker after a verified relocalization:
@@ -623,11 +673,12 @@ class SLAMSystem:
                         int(pnp_inl) >= max(
                             self.config.ransac.min_pnp_matches,
                             self.loop_min_inliers):
-                    self.tracker_state, self.map_state = \
-                        self._apply_loop_fn(
-                            self.tracker_state, self.map_state, q_pnp,
-                            t_pnp, jnp.asarray(cand_seq, jnp.int32),
-                            jnp.asarray(entry_seq, jnp.int32))
+                    fn = self._apply_loop_pgo_fn if self.loop_pgo \
+                        else self._apply_loop_fn
+                    self.tracker_state, self.map_state = fn(
+                        self.tracker_state, self.map_state, q_pnp,
+                        t_pnp, jnp.asarray(cand_seq, jnp.int32),
+                        jnp.asarray(entry_seq, jnp.int32))
                     rec["applied"] = True
                     self.stats["loops_applied"] = \
                         self.stats.get("loops_applied", 0) + 1
