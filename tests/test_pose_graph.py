@@ -119,7 +119,7 @@ def test_pgo_loop_consumption_corrects_drift():
         ba=dataclasses.replace(base.ba, period_s=1.0),
         map=MapConfig(max_landmarks=1024, max_keyframes=8,
                       max_obs_per_landmark=6, max_obs_per_keyframe=256))
-    n_orbit, drift = 100, 0.20
+    n_orbit, drift = 100, 0.40
     scene = synthetic.SyntheticScene(cam, seed=5)
     poses = synthetic.loop_trajectory(n_orbit) + \
         synthetic.loop_trajectory(n_orbit, radius=0.34)
