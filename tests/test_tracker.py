@@ -75,10 +75,12 @@ class TestTracking(object):
         kf = np.array([bool(o.is_keyframe) for o in outs])
         assert kf[0] and kf[1]         # reference quirk: frames 0 AND 1 are KFs
         assert kf.sum() < len(outs)    # but not every frame
-        # keyframe payload only valid on keyframes
+        # the keyframe payload is built EVERY frame (consumers gate on
+        # is_keyframe; relocalization queries BoW with a lost frame's
+        # payload) — keyframes must carry real observations
         for o in outs:
-            if not bool(o.is_keyframe):
-                assert not np.asarray(o.keyframe.mask).any()
+            if bool(o.is_keyframe) and bool(o.tracking_ok):
+                assert np.asarray(o.keyframe.mask).any()
 
     def test_keyframe_world_points_accurate(self, run_sequence):
         """Keyframe landmark positions must reproject to their pixels under
