@@ -733,6 +733,11 @@ class SLAMSystem:
         self.tracker_state = ts
         self.map_state = ms
         self._n_kf_host = int(ms.keyframes.count)
+        # drop in-flight recovery state: a pending reloc verdict was
+        # computed against the pre-restore pose and must not re-anchor the
+        # restored one
+        self._pending_reloc = None
+        self._lost_streak = 0
         # Keep the host seq counter aligned with the device ring: apply_loop
         # anchors corrections by seq == next_slot-derived ids, so a restore
         # without place data must resume the counter from the ring, not 0.

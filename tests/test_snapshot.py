@@ -110,3 +110,27 @@ def test_system_save_restore_includes_place_state(tmp_path):
         t += 1 / 30
     fresh.finalize()
     assert fresh.stats["loop_candidates"] >= 1
+
+
+@pytest.mark.slow
+def test_restore_drops_inflight_recovery_state(tmp_path):
+    """restore() must clear a pending relocalization verdict and the lost
+    streak: the verdict was computed against the pre-restore pose, so
+    harvesting it afterwards would re-anchor the restored trajectory to a
+    stale frozen pose."""
+    frames = list(synthetic.generate_sequence(CAM, 4, seed=3))
+    slam = SLAMSystem(CFG, ba_async=False, enable_place_recognition=False)
+    for gray, depth, _, _, ts in frames:
+        slam.process(gray, depth, ts)
+    path = str(tmp_path / "ckpt.npz")
+    slam.save(path)
+    # simulate an in-flight recovery attempt at snapshot-load time
+    slam._pending_reloc = ("stale-verdict", None, None, {})
+    slam._lost_streak = 5
+    slam.restore(path)
+    assert slam._pending_reloc is None
+    assert slam._lost_streak == 0
+    # the restored system keeps processing normally (harvest is a no-op)
+    g, d, _, _, ts = frames[-1]
+    fr = slam.process(g, d, ts + 1 / 30)
+    assert np.all(np.isfinite(fr.t_wc))
