@@ -66,8 +66,15 @@ class KeyframeDB(NamedTuple):
 
 class LandmarkMap(NamedTuple):
     xyz: jnp.ndarray         # (L, 3) world positions
-    desc_bits: jnp.ndarray   # (L, 256) latest descriptor (backend.cpp keeps
-    #                           the newest match descriptor per landmark)
+    desc_bits: jnp.ndarray   # (L, 256) newest matched descriptor
+    desc_anchor: jnp.ndarray  # (L, 256) first (creation-time) descriptor.
+    #                           The reference stores EVERY observation's
+    #                           descriptor and matches 1-vs-all
+    #                           (backend.cpp:1064-1120); keeping the two
+    #                           appearance extremes — creation view + newest
+    #                           view — bounds the memory at 2 descriptors
+    #                           while covering both ends of appearance drift
+    #                           (association takes the min Hamming of the two)
     category: jnp.ndarray    # (L,) int32
     n_obs: jnp.ndarray       # (L,) int32
     last_seen: jnp.ndarray   # (L,) f32 seconds
@@ -96,6 +103,7 @@ def init_map(cfg: SLAMConfig) -> MapState:
         LandmarkMap(
             xyz=jnp.zeros((l, 3), jnp.float32),
             desc_bits=jnp.zeros((l, 256), jnp.uint8),
+            desc_anchor=jnp.zeros((l, 256), jnp.uint8),
             category=jnp.zeros(l, jnp.int32),
             n_obs=jnp.zeros(l, jnp.int32),
             last_seen=jnp.zeros(l, jnp.float32),
@@ -140,8 +148,16 @@ def associate(cfg: SLAMConfig, k: Intrinsics, lm: LandmarkMap,
               kf: KeyframeBlock, obs_cat: jnp.ndarray,
               obs_keep: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """→ (assoc_idx (C,), matched (C,)): best same-category landmark with
-    Hamming < 50 and reprojection < 5 px, by lowest reprojection error."""
-    d = hamming.hamming_matrix(kf.desc_bits, lm.desc_bits)       # (C, L)
+    Hamming < 50 and reprojection < 5 px, by lowest reprojection error.
+
+    Hamming distance is the min over the landmark's two stored descriptors
+    (creation anchor + newest match) — the bounded-memory stand-in for the
+    reference's 1-vs-all-observations matching (backend.cpp:1064-1120); one
+    (C, 2L) MXU contraction instead of (C, L)."""
+    d2 = hamming.hamming_matrix(
+        kf.desc_bits, jnp.concatenate([lm.desc_bits, lm.desc_anchor], axis=0))
+    l_cap = lm.desc_bits.shape[0]
+    d = jnp.minimum(d2[:, :l_cap], d2[:, l_cap:])                # (C, L)
     uv_proj = cam.reproject_world(k, kf.q_wc, kf.t_wc, lm.xyz)   # (L, 2)
     xyz_c = cam.world_to_camera(kf.q_wc, kf.t_wc, lm.xyz)
     reproj = jnp.linalg.norm(kf.uv[:, None, :] - uv_proj[None, :, :], axis=-1)
@@ -329,6 +345,7 @@ def insert_keyframe(cfg: SLAMConfig, state: MapState, kf: KeyframeBlock,
     lm = lm._replace(
         xyz=lm.xyz.at[dest].set(kf.xyz_w, mode="drop"),
         desc_bits=lm.desc_bits.at[dest].set(kf.desc_bits, mode="drop"),
+        desc_anchor=lm.desc_anchor.at[dest].set(kf.desc_bits, mode="drop"),
         category=lm.category.at[dest].set(obs_cat, mode="drop"),
         n_obs=lm.n_obs.at[dest].set(jnp.where(can_alloc, 1, 0), mode="drop"),
         last_seen=lm.last_seen.at[dest].set(

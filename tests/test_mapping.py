@@ -82,6 +82,45 @@ class TestInsertion:
                              - WORLD[:len(np.asarray(lm.xyz)[act][:300])], axis=1)
         assert np.median(err) < 0.02
 
+    def test_anchor_descriptor_recovers_drifted_landmarks(self, step):
+        """Association matches against the creation-time anchor descriptor as
+        well as the newest one (min Hamming of the two — the bounded stand-in
+        for the reference's 1-vs-all-observations matching,
+        backend.cpp:1064-1120): a landmark whose newest descriptor has
+        drifted past the Hamming gate is still recovered by its anchor."""
+        state = mapping.init_map(CFG)
+        kf = make_kf([0, 0, 0], 0, 0.0)
+        state, _ = step(state, kf, EMPTY_DET, NO_FILTER)
+        lm = state.landmarks
+        # simulate appearance drift: newest descriptor becomes the complement
+        lm_drift = lm._replace(desc_bits=(1 - lm.desc_bits).astype(jnp.uint8))
+        obs_cat = jnp.zeros(C, jnp.int32)
+        _, matched = mapping.associate(CFG, K, lm_drift, kf, obs_cat, kf.mask)
+        assert int(matched.sum()) > 250       # anchor carries the match
+        # without the anchor the complement is 256 bits away -> no matches
+        lm_broken = lm_drift._replace(
+            desc_anchor=(1 - lm.desc_anchor).astype(jnp.uint8))
+        _, matched2 = mapping.associate(CFG, K, lm_broken, kf, obs_cat, kf.mask)
+        assert not bool(matched2.any())
+
+    def test_matched_update_keeps_anchor_overwrites_newest(self, step):
+        """A matched observation refreshes desc_bits but never desc_anchor."""
+        state = mapping.init_map(CFG)
+        state, _ = step(state, make_kf([0, 0, 0], 0, 0.0), EMPTY_DET, NO_FILTER)
+        anchor_before = np.asarray(state.landmarks.desc_anchor).copy()
+        # second view: same points, descriptors perturbed within the gate
+        kf2 = make_kf([0.4, 0.02, 0.0], 1, 0.5, rvec=(0.0, 0.01, 0.0))
+        flip = np.zeros((C, 256), np.uint8)
+        flip[:, :10] = 1                      # 10-bit drift < max_hamming
+        kf2 = kf2._replace(desc_bits=jnp.asarray(
+            np.asarray(kf2.desc_bits) ^ flip))
+        state, stats = step(state, kf2, EMPTY_DET, NO_FILTER)
+        assert int(stats["n_matched"]) > 250
+        np.testing.assert_array_equal(
+            np.asarray(state.landmarks.desc_anchor), anchor_before)
+        # newest descriptors did move for matched slots
+        assert np.any(np.asarray(state.landmarks.desc_bits) != anchor_before)
+
     def test_unassociated_sentinel_is_minus_one_semantics(self, step):
         """Association returns a matched mask, never a magic 0 id
         (reference quirk 4, SURVEY.md §7)."""
