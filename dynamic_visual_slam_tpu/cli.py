@@ -61,7 +61,9 @@ def cmd_run(args) -> int:
             return 2
         detector = GTDetector(cfg)
 
-    slam = SLAMSystem(cfg)
+    slam = SLAMSystem(cfg, loop_pgo=getattr(args, "loop_pgo", False),
+                      enable_relocalization=not getattr(args, "no_reloc",
+                                                        False))
     timer = profiling.StageTimer()
     tracer = profiling.make_tracer() if args.trace else None
 
@@ -383,6 +385,13 @@ def main(argv: Optional[list] = None) -> int:
                     help="route frames through the bounded-queue/"
                          "ApproximateTime middleware (IO thread + device "
                          "loop) — the reference's DDS transport topology")
+    pr.add_argument("--loop-pgo", action="store_true",
+                    help="consume loop closures through the dense pose-graph "
+                         "solve over the keyframe ring instead of the "
+                         "age-interpolated correction")
+    pr.add_argument("--no-reloc", action="store_true",
+                    help="disable BoW relocalization after tracking loss "
+                         "(the reference's freeze-pose behavior)")
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
