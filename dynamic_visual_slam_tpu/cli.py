@@ -64,6 +64,15 @@ def cmd_run(args) -> int:
     slam = SLAMSystem(cfg, loop_pgo=getattr(args, "loop_pgo", False),
                       enable_relocalization=not getattr(args, "no_reloc",
                                                         False))
+    if getattr(args, "resume", None):
+        if not os.path.exists(args.resume):
+            print(f"error: checkpoint '{args.resume}' not found",
+                  file=sys.stderr)
+            return 2
+        slam.restore(args.resume)
+        print(f"resumed from {args.resume} "
+              f"({int(slam.map_state.keyframes.count)} keyframes)",
+              file=sys.stderr)
     timer = profiling.StageTimer()
     tracer = profiling.make_tracer() if args.trace else None
 
@@ -208,6 +217,9 @@ def cmd_run(args) -> int:
                           ts_arr)
     if tracer:
         tracer.dump_chrome_trace(os.path.join(args.out_dir, "trace.json"))
+    if getattr(args, "save_state", None):
+        slam.save(args.save_state)
+        print(f"checkpoint written to {args.save_state}", file=sys.stderr)
 
     n_done = runner_stats["frames_processed"] if runner_stats else n
     stats = dict(slam.stats, fps=round(n_done / max(wall, 1e-9), 2),
@@ -392,6 +404,12 @@ def main(argv: Optional[list] = None) -> int:
     pr.add_argument("--no-reloc", action="store_true",
                     help="disable BoW relocalization after tracking loss "
                          "(the reference's freeze-pose behavior)")
+    pr.add_argument("--resume", default=None, metavar="CKPT",
+                    help="restore a --save-state checkpoint (tracker + map "
+                         "+ BoW place database) before processing")
+    pr.add_argument("--save-state", default=None, metavar="CKPT",
+                    help="write a full-system checkpoint after the run "
+                         "(resumable with --resume)")
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
