@@ -89,7 +89,9 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
           sigma: float = 1.0, huber_delta: float = 1.345,
           irls_iters: int = 30, xtol: float = 1e-12,
           max_nfev: Optional[int] = None,
-          strict: bool = True) -> OracleResult:
+          strict: bool = True,
+          point_prior_sigma: float = 0.0,
+          prior_obs_decay: float = 0.0) -> OracleResult:
     """Inputs mirror BAProblem: camera-to-world poses (quaternion wxyz — the
     package's lie.py convention + t), points, dense (L, W, 2) pixel grid
     with (L, W) validity."""
@@ -134,6 +136,37 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
         ok = valid & (z > 0.1) if guard else valid
         return np.where(ok[..., None], r, 0.0), ok
 
+    # One-sided depth barrier keeping TRF inside the feasible basin: the
+    # reprojection residual explodes only exactly AT z=0, and a large trust
+    # step can hop straight across it to a finite-cost collapapsed optimum
+    # with points behind the cameras (observed on flat live-pipeline
+    # windows). r_bar = c * max(0, z_lo - z) has ZERO value and ZERO
+    # gradient wherever z > z_lo, so every feasible optimum of the
+    # barrier-augmented problem is exactly an optimum of the true problem —
+    # the comparison stays exact; the barrier only blocks the escape path.
+    z_lo = 0.1
+    barrier_c = 1e3
+
+    # Obs-count-decayed point prior (backend/ba.py w_pt_prior * decay_pt,
+    # BAConfig.point_prior_sigma/prior_obs_decay): L2 anchors to the initial
+    # points, NOT Huberized, included in the reported cost exactly as the
+    # TPU solver includes them. The point prior also pins the gauge scale,
+    # so renormalize_gauge must be skipped when it is active.
+    if point_prior_sigma > 0:
+        n_obs_pt = valid.sum(axis=1).astype(np.float64)          # (L,)
+        decay_pt = prior_obs_decay / (prior_obs_decay + n_obs_pt) \
+            if prior_obs_decay > 0 else np.ones(l_n)
+        wp_pt = decay_pt / point_prior_sigma ** 2                # (L,)
+    else:
+        wp_pt = np.zeros(l_n)
+    swp = np.sqrt(wp_pt)                                         # (L,)
+    has_pt_prior = bool(np.any(wp_pt > 0))
+
+    def residual_barrier(p):
+        rv, tc, pts = unpack(p)
+        _, z = _project(rv, tc, pts, fx, fy, cx, cy)
+        return barrier_c * np.maximum(0.0, z_lo - z)      # (L, W)
+
     n_params = (w_n - 1) * 6 + l_n * 3
 
     def jac_weighted(pv, sw):
@@ -156,9 +189,12 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
                             rm, -_skew(pts), jr)              # (L,W,3,3)
         j_rot = np.einsum("lwri,lwij->lwrj", jp, dxc_drv)     # (L,W,2,3)
         j_pt = np.einsum("lwri,wij->lwrj", jp, rm)            # (L,W,2,3)
-        jac = np.zeros((n_obs * 2, n_params))
+        jac = np.zeros((n_obs * 3 + 3 * l_n, n_params))
         t_base = (w_n - 1) * 3
         p_base = (w_n - 1) * 6
+        # barrier rows: d r_bar/d params = -c * [z < z_lo] * dz/d params
+        bar_act = (z < z_lo)                                  # (L,W)
+        dz_drv = dxc_drv[..., 2, :]                           # (L,W,3)
         for o in range(n_obs):
             l, w = li[o], wi[o]
             if w > 0:
@@ -167,6 +203,19 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
                     t_base + (w - 1) * 3: t_base + w * 3] = jp[l, w]
             jac[2 * o: 2 * o + 2,
                 p_base + 3 * l: p_base + 3 * l + 3] = j_pt[l, w]
+            if bar_act[l, w]:
+                b = 2 * n_obs + o
+                if w > 0:
+                    jac[b, (w - 1) * 3: w * 3] = -barrier_c * dz_drv[l, w]
+                    jac[b, t_base + (w - 1) * 3 + 2] = -barrier_c
+                jac[b, p_base + 3 * l: p_base + 3 * l + 3] = \
+                    -barrier_c * rm[w, 2, :]
+        for l in range(l_n):                 # point-prior rows: swp_l * I
+            r0_ = 3 * n_obs + 3 * l
+            c0_ = p_base + 3 * l
+            jac[r0_, c0_] = swp[l]
+            jac[r0_ + 1, c0_ + 1] = swp[l]
+            jac[r0_ + 2, c0_ + 2] = swp[l]
         return jac
 
     # reference scale for gauge renormalization: scaling points and camera
@@ -206,7 +255,11 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
 
         def flat_weighted(pv, sw=sw):
             rr, _ = residual_blocks(pv)
-            return (rr * sw[..., None])[li, wi].ravel()
+            bar = residual_barrier(pv)[li, wi]            # (n_obs,)
+            _, _, pts = unpack(pv)
+            rp = (swp[:, None] * (pts - x0)).ravel()      # (3L,) point prior
+            return np.concatenate(
+                [(rr * sw[..., None])[li, wi].ravel(), bar, rp])
 
         unit_weights = bool(np.all(w_blk[ok] >= 1.0 - 1e-12))
 
@@ -216,7 +269,17 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
                             max_nfev=max_nfev)
         n_irls += 1
         converged = np.max(np.abs(sol.x - p)) < 1e-12
-        p = renormalize_gauge(sol.x)
+        if __import__("os").environ.get("DVS_ORACLE_DEBUG"):
+            _, z_dbg = _project(*unpack(sol.x), fx, fy, cx, cy)
+            bar_dbg = residual_barrier(sol.x)[li, wi]
+            print(f"[irls {n_irls}] scipy_cost={sol.cost:.4f} "
+                  f"zmin={z_dbg[valid].min():.3g} "
+                  f"zmax={z_dbg[valid].max():.3g} "
+                  f"bar_max={bar_dbg.max():.3g} status={sol.status}",
+                  flush=True)
+        # the point prior pins the gauge scale — renormalizing would then
+        # CHANGE the cost instead of moving along an exact symmetry
+        p = sol.x if has_pt_prior else renormalize_gauge(sol.x)
         r, ok = residual_blocks(p)
         in_l2 = bool(np.all(np.linalg.norm(r, axis=-1)[ok] <= huber_delta))
         # exact stop: this iteration solved the TRUE problem (all weights
@@ -241,7 +304,8 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
         raise RuntimeError("oracle solution has behind-camera points; "
                            "problem too degenerate for oracle comparison")
     r, ok = residual_blocks(p, guard=True)
-    cost = block_huber_cost(r, ok, huber_delta)
+    cost = block_huber_cost(r, ok, huber_delta) \
+        + 0.5 * float(np.sum(wp_pt[:, None] * (pts - x0) ** 2))
     r_cw_f = Rotation.from_rotvec(rv)
     r_wc_f = r_cw_f.inv()
     q_out = np.roll(r_wc_f.as_quat(), 1, axis=-1)         # xyzw -> wxyz
