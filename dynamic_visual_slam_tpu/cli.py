@@ -28,10 +28,15 @@ import numpy as np
 
 
 def _build_config(args):
+    import dataclasses as dc
+
     from dynamic_visual_slam_tpu.config import SLAMConfig
     cfg = SLAMConfig.preset(args.preset) if args.preset else SLAMConfig()
     if args.width and args.height:
         cfg = cfg.replace(camera=cfg.camera.scaled(args.width, args.height))
+    if getattr(args, "anchor", False):
+        cfg = cfg.replace(tracking=dc.replace(cfg.tracking,
+                                              anchor_to_keyframe=True))
     return cfg
 
 
@@ -404,6 +409,11 @@ def main(argv: Optional[list] = None) -> int:
     pr.add_argument("--no-reloc", action="store_true",
                     help="disable BoW relocalization after tracking loss "
                          "(the reference's freeze-pose behavior)")
+    pr.add_argument("--anchor", action="store_true",
+                    help="keyframe-anchored tracking: a second per-frame PnP "
+                         "against the last keyframe's stored world points "
+                         "(drift compounds per keyframe, not per frame — "
+                         "cfg.tracking.anchor_to_keyframe)")
     pr.add_argument("--resume", default=None, metavar="CKPT",
                     help="restore a --save-state checkpoint (tracker + map "
                          "+ BoW place database) before processing")
@@ -426,6 +436,8 @@ def main(argv: Optional[list] = None) -> int:
                          "report the ATE-ratio distribution")
     pp.add_argument("--width", type=int, default=424)
     pp.add_argument("--height", type=int, default=240)
+    pp.add_argument("--anchor", action="store_true",
+                    help="keyframe-anchored tracking on the TPU side")
     pp.add_argument("--out-dir", default="parity_out")
     pp.set_defaults(fn=cmd_parity)
 

@@ -112,6 +112,27 @@ class MotionConfig:
 
 
 @dataclass(frozen=True)
+class TrackingConfig:
+    """Pose-estimation policy beyond the reference's frame-to-frame chain.
+
+    anchor_to_keyframe=True adds a second PnP each frame against the LAST
+    KEYFRAME's stored world points (matched descriptors are already
+    computed for the keyframe policy): its solution is an ABSOLUTE pose,
+    so odometry error compounds per keyframe instead of per frame over
+    the interval. The anchored pose replaces the frame-to-frame
+    composition only when it has enough inliers and agrees with it within
+    the jump gates (a wrong anchor match must not teleport the tracker).
+    Off by default: the reference composes frame-to-frame only
+    (frontend.cpp:947-948) and the shipped accuracy calibration is built
+    on that behavior."""
+
+    anchor_to_keyframe: bool = False
+    anchor_min_inliers: int = 60
+    anchor_max_jump_m: float = 0.3
+    anchor_max_jump_rad: float = 0.15
+
+
+@dataclass(frozen=True)
 class KeyframeConfig:
     """Keyframe policy + backend-feature culling (frontend.cpp:601-662,1171-1219)."""
 
@@ -248,6 +269,7 @@ class SLAMConfig:
     match: MatchConfig = field(default_factory=MatchConfig)
     ransac: RANSACConfig = field(default_factory=RANSACConfig)
     motion: MotionConfig = field(default_factory=MotionConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
     keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
     association: AssociationConfig = field(default_factory=AssociationConfig)
     triangulation: TriangulationConfig = field(default_factory=TriangulationConfig)

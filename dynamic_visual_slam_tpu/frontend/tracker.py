@@ -56,6 +56,11 @@ class TrackerState(NamedTuple):
     has_prev: jnp.ndarray        # () bool
     kf_desc_bits: jnp.ndarray    # (C,256) last keyframe descriptors
     kf_mask: jnp.ndarray         # (C,)
+    kf_xyz_w: jnp.ndarray        # (C,3) last keyframe world points — PnP
+    #                              anchor when cfg.tracking.anchor_to_keyframe
+    #                              (corrections applied to the tracker pose by
+    #                              BA feedback / loops / reloc transform these
+    #                              too, pipeline/slam.py)
     has_kf: jnp.ndarray          # () bool
     frames_since_kf: jnp.ndarray  # () int32
     frame_idx: jnp.ndarray       # () int32
@@ -89,7 +94,8 @@ def init_state(cfg: SLAMConfig) -> TrackerState:
         prev=zkp, prev_depth=jnp.zeros(k, jnp.float32),
         has_prev=jnp.asarray(False),
         kf_desc_bits=jnp.zeros((c, 256), jnp.uint8),
-        kf_mask=jnp.zeros(c, bool), has_kf=jnp.asarray(False),
+        kf_mask=jnp.zeros(c, bool),
+        kf_xyz_w=jnp.zeros((c, 3), jnp.float32), has_kf=jnp.asarray(False),
         frames_since_kf=jnp.asarray(0, jnp.int32),
         frame_idx=jnp.asarray(0, jnp.int32), rng=jax.random.key(0),
         q_rel=lie.quat_identity(), t_rel=jnp.zeros(3, jnp.float32))
@@ -156,7 +162,7 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     elif depth_m.dtype != jnp.float32:
         depth_m = depth_m.astype(jnp.float32)
     k = Intrinsics.from_config(cfg.camera)
-    rng, k_fm, k_pnp = jax.random.split(state.rng, 3)
+    rng, k_fm, k_pnp, k_anc = jax.random.split(state.rng, 4)
 
     # --- extraction + depth filter (frontend.cpp:1094-1100,503-527) ---------
     kps = extract(gray, cfg.orb)
@@ -218,6 +224,36 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
                          state.kf_mask & state.has_kf,
                          max_distance=float(cfg.match.max_hamming))
     n_kf_matches = jnp.sum(kf_m.valid.astype(jnp.int32))
+
+    # --- keyframe-anchored absolute PnP (cfg.tracking.anchor_to_keyframe) ---
+    # The frame-to-frame chain compounds error every frame; PnP against the
+    # last keyframe's STORED world points yields an absolute pose whose error
+    # compounds per keyframe instead. The kf_m match is already computed for
+    # the keyframe policy, so the extra cost is one more batched PnP. The
+    # anchored pose replaces the composed one only when it is strong (inlier
+    # floor) AND agrees with it (jump gates) — a wrong anchor match must not
+    # teleport the tracker.
+    tracked = accept
+    if cfg.tracking.anchor_to_keyframe:
+        q_pred_cw, t_pred_cw = lie.se3_inverse(q_wc, t_wc)
+        kfa = ransac.pnp_ransac(
+            k, state.kf_xyz_w[kf_m.train_idx], kps.uv,
+            kf_m.valid & state.has_kf, k_anc,
+            n_hyp=cfg.ransac.pnp_iterations,
+            threshold=cfg.ransac.pnp_threshold_px,
+            min_inliers=cfg.ransac.min_pnp_matches,
+            refine_iters=cfg.ransac.refine_iterations,
+            prior_q=q_pred_cw, prior_t=t_pred_cw)
+        q_abs, t_abs = lie.se3_inverse(kfa.q, kfa.t)
+        dphi = lie.so3_log(lie.quat_mul(q_abs, lie.quat_conj(q_wc)))
+        use_anchor = state.has_kf & kfa.valid & ~lost \
+            & (kfa.n_inliers >= cfg.tracking.anchor_min_inliers) \
+            & (jnp.linalg.norm(t_abs - t_wc)
+               <= cfg.tracking.anchor_max_jump_m) \
+            & (jnp.linalg.norm(dphi) <= cfg.tracking.anchor_max_jump_rad)
+        q_wc = jnp.where(use_anchor, q_abs, q_wc)
+        t_wc = jnp.where(use_anchor, t_abs, t_wc)
+        tracked = accept | use_anchor
     is_kf = (~state.has_kf) | \
         (n_kf_matches < cfg.keyframe.min_matches_to_last_kf) | \
         (state.frames_since_kf >= cfg.keyframe.max_frames_between_kf)
@@ -229,7 +265,7 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     # before the FIRST keyframe exists (~has_kf), never after a mid-run
     # tracking reset, whose recovery frame would otherwise anchor a
     # keyframe at the stale frozen pose.
-    is_kf = is_kf & ~lost & (accept | (~state.has_prev & ~state.has_kf))
+    is_kf = is_kf & ~lost & (tracked | (~state.has_prev & ~state.has_kf))
 
     # --- keyframe payload: culled features + world positions ----------------
     keep = _select_keyframe_features(cfg, kps, fm_inlier)
@@ -257,6 +293,7 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
         has_prev=~lost,
         kf_desc_bits=jnp.where(is_kf, kf_block.desc_bits, state.kf_desc_bits),
         kf_mask=jnp.where(is_kf, kf_block.mask, state.kf_mask),
+        kf_xyz_w=jnp.where(is_kf, kf_block.xyz_w, state.kf_xyz_w),
         # reference quirk: the first-frame branch publishes a keyframe without
         # arming the policy (has_last_keyframe_ is only set inside isKeyframe,
         # frontend.cpp:603-605), so frames 0 AND 1 both become keyframes
@@ -267,7 +304,7 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
         t_rel=jnp.where(accept, pnp.t, state.t_rel))
 
     out = TrackOutput(
-        q_wc=q_wc, t_wc=t_wc, tracking_ok=accept, n_features=n_feat,
+        q_wc=q_wc, t_wc=t_wc, tracking_ok=tracked, n_features=n_feat,
         n_matches=n_match, n_inliers=n_inlier, n_pnp_inliers=pnp.n_inliers,
         is_keyframe=is_kf, keyframe=kf_block)
     return new_state, out

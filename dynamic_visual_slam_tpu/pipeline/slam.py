@@ -34,6 +34,18 @@ from dynamic_visual_slam_tpu.frontend import tracker
 from dynamic_visual_slam_tpu.semantic.classes import filtered_mask
 
 
+def _correct_tracker(tstate, q_c: jnp.ndarray, t_c: jnp.ndarray):
+    """Left-compose a world-frame correction onto the live tracker: pose
+    T ← T_c ∘ T, and the stored last-keyframe anchor points x ← R_c x + t_c
+    (they live in the same pre-correction world frame; leaving them behind
+    would make the next keyframe-anchored PnP revert the correction,
+    frontend/tracker.py `kf_xyz_w`)."""
+    return tstate._replace(
+        q_wc=lie.quat_normalize(lie.quat_mul(q_c, tstate.q_wc)),
+        t_wc=lie.quat_rotate(q_c, tstate.t_wc) + t_c,
+        kf_xyz_w=lie.quat_rotate(q_c, tstate.kf_xyz_w) + t_c)
+
+
 @dataclass
 class FrameResult:
     timestamp: float
@@ -180,9 +192,7 @@ class SLAMSystem:
                 & (jnp.linalg.norm(lie.so3_log(q_c)) < 0.1)
             q_c = jnp.where(ok, q_c, lie.quat_identity())
             t_c = jnp.where(ok, t_c, jnp.zeros(3))
-            tstate = tstate._replace(
-                q_wc=lie.quat_normalize(lie.quat_mul(q_c, tstate.q_wc)),
-                t_wc=lie.quat_rotate(q_c, tstate.t_wc) + t_c)
+            tstate = _correct_tracker(tstate, q_c, t_c)
             return new_m, tstate, res
 
         self._run_ba_fb = jax.jit(run_ba_fb)
@@ -229,9 +239,7 @@ class SLAMSystem:
             q_l = lie.so3_exp(al[:, None] * phi[None])
             xyz = lie.quat_rotate(q_l, lm.xyz) + al[:, None] * t_corr[None]
             lm = lm._replace(xyz=jnp.where(lm.active[:, None], xyz, lm.xyz))
-            tstate = tstate._replace(
-                q_wc=lie.quat_normalize(lie.quat_mul(q_corr, tstate.q_wc)),
-                t_wc=lie.quat_rotate(q_corr, tstate.t_wc) + t_corr)
+            tstate = _correct_tracker(tstate, q_corr, t_corr)
             return tstate, mstate._replace(keyframes=kdb, landmarks=lm)
 
         self._apply_loop_fn = jax.jit(apply_loop)
@@ -273,9 +281,7 @@ class SLAMSystem:
             ns = jnp.mod(mstate.keyframes.next_slot - 1, f_cap)
             q_tc = jnp.where(ok, res.q_corr[ns], lie.quat_identity())
             t_tc = jnp.where(ok, res.t_corr[ns], jnp.zeros(3))
-            tstate = tstate._replace(
-                q_wc=lie.quat_normalize(lie.quat_mul(q_tc, tstate.q_wc)),
-                t_wc=lie.quat_rotate(q_tc, tstate.t_wc) + t_tc)
+            tstate = _correct_tracker(tstate, q_tc, t_tc)
             return tstate, mstate._replace(keyframes=kdb, landmarks=lm)
 
         self._apply_loop_pgo_fn = jax.jit(apply_loop_pgo)
@@ -289,9 +295,7 @@ class SLAMSystem:
             defense is the loop-grade PnP consensus demanded at harvest."""
             q_fi, t_fi = lie.se3_inverse(q_froz, t_froz)
             q_c, t_c = lie.se3_compose(q_pnp, t_pnp, q_fi, t_fi)
-            return tstate._replace(
-                q_wc=lie.quat_normalize(lie.quat_mul(q_c, tstate.q_wc)),
-                t_wc=lie.quat_rotate(q_c, tstate.t_wc) + t_c)
+            return _correct_tracker(tstate, q_c, t_c)
 
         self._apply_reloc_fn = jax.jit(apply_reloc)
         self._prune = jax.jit(
