@@ -70,12 +70,19 @@ def cmd_run(args) -> int:
                       enable_relocalization=not getattr(args, "no_reloc",
                                                         False))
     if getattr(args, "resume", None):
-        if not os.path.exists(args.resume):
+        resume = args.resume
+        if not os.path.exists(resume) and os.path.exists(resume + ".npz"):
+            resume += ".npz"      # np.savez appends the extension on save
+        if not os.path.exists(resume):
             print(f"error: checkpoint '{args.resume}' not found",
                   file=sys.stderr)
             return 2
-        slam.restore(args.resume)
-        print(f"resumed from {args.resume} "
+        try:
+            slam.restore(resume)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(f"resumed from {resume} "
               f"({int(slam.map_state.keyframes.count)} keyframes)",
               file=sys.stderr)
     timer = profiling.StageTimer()
@@ -223,8 +230,12 @@ def cmd_run(args) -> int:
     if tracer:
         tracer.dump_chrome_trace(os.path.join(args.out_dir, "trace.json"))
     if getattr(args, "save_state", None):
-        slam.save(args.save_state)
-        print(f"checkpoint written to {args.save_state}", file=sys.stderr)
+        # np.savez appends .npz when absent; normalize so the printed path
+        # and a later --resume both name the file actually written
+        ckpt = args.save_state if args.save_state.endswith(".npz") \
+            else args.save_state + ".npz"
+        slam.save(ckpt)
+        print(f"checkpoint written to {ckpt}", file=sys.stderr)
 
     n_done = runner_stats["frames_processed"] if runner_stats else n
     stats = dict(slam.stats, fps=round(n_done / max(wall, 1e-9), 2),

@@ -234,6 +234,8 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     # floor) AND agrees with it (jump gates) — a wrong anchor match must not
     # teleport the tracker.
     tracked = accept
+    q_rel_eff, t_rel_eff = pnp.q, pnp.t
+    n_pnp_out = pnp.n_inliers
     if cfg.tracking.anchor_to_keyframe:
         q_pred_cw, t_pred_cw = lie.se3_inverse(q_wc, t_wc)
         kfa = ransac.pnp_ransac(
@@ -254,6 +256,12 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
         q_wc = jnp.where(use_anchor, q_abs, q_wc)
         t_wc = jnp.where(use_anchor, t_abs, t_wc)
         tracked = accept | use_anchor
+        # effective prev→curr transform of the EMITTED pose (reduces to
+        # pnp.q/t when only the frame-to-frame solve accepted) — keeps the
+        # constant-velocity prior fresh through anchor-only stretches
+        q_rel_eff, t_rel_eff = lie.se3_compose(
+            *lie.se3_inverse(q_wc, t_wc), state.q_wc, state.t_wc)
+        n_pnp_out = jnp.where(use_anchor, kfa.n_inliers, pnp.n_inliers)
     is_kf = (~state.has_kf) | \
         (n_kf_matches < cfg.keyframe.min_matches_to_last_kf) | \
         (state.frames_since_kf >= cfg.keyframe.max_frames_between_kf)
@@ -300,12 +308,19 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
         has_kf=state.has_kf | (is_kf & state.has_prev),
         frames_since_kf=jnp.where(is_kf, 0, state.frames_since_kf + 1),
         frame_idx=state.frame_idx + 1, rng=rng,
-        q_rel=jnp.where(accept, pnp.q, state.q_rel),
-        t_rel=jnp.where(accept, pnp.t, state.t_rel))
+        # constant-velocity prior: the EFFECTIVE prev→curr transform of the
+        # pose actually emitted (inv(T_curr)∘T_prev) — equals pnp.q/t when
+        # only frame-to-frame accepted, and stays fresh through anchor-only
+        # stretches where the frame-to-frame solve failed
+        q_rel=jnp.where(tracked, q_rel_eff, state.q_rel),
+        t_rel=jnp.where(tracked, t_rel_eff, state.t_rel))
 
     out = TrackOutput(
         q_wc=q_wc, t_wc=t_wc, tracking_ok=tracked, n_features=n_feat,
-        n_matches=n_match, n_inliers=n_inlier, n_pnp_inliers=pnp.n_inliers,
+        n_matches=n_match, n_inliers=n_inlier,
+        # support of the EMITTED pose: the anchored solve's inliers on
+        # frames where it replaced the frame-to-frame composition
+        n_pnp_inliers=n_pnp_out,
         is_keyframe=is_kf, keyframe=kf_block)
     return new_state, out
 

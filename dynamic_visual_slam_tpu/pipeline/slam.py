@@ -19,6 +19,7 @@ YOLO publisher, SURVEY.md §3.3): frames without detections map everything as
 from __future__ import annotations
 
 from dataclasses import dataclass
+from dataclasses import fields as dataclass_fields
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -733,7 +734,14 @@ class SLAMSystem:
         from dynamic_visual_slam_tpu.pipeline import snapshot
         from dynamic_visual_slam_tpu.place import bow
         ts, ms, cfg = snapshot.load(path)
-        assert cfg == self.config, "snapshot config mismatch"
+        if cfg != self.config:
+            diff = [f.name for f in dataclass_fields(cfg)
+                    if getattr(cfg, f.name) != getattr(self.config, f.name)]
+            raise ValueError(
+                "snapshot config mismatch — the checkpoint was written "
+                f"with different settings (sections differing: {diff}); "
+                "construct the system with the checkpoint's config "
+                "(snapshot.load returns it) or rerun with matching flags")
         self.tracker_state = ts
         self.map_state = ms
         self._n_kf_host = int(ms.keyframes.count)

@@ -71,4 +71,18 @@ def load(path: str) -> Tuple[tracker.TrackerState, mapping.MapState,
     ts = ts._replace(rng=jax.random.wrap_key_data(
         jnp.asarray(data["tracker/rng"], jnp.uint32)))
     ms = _rebuild(mapping.MapState, "map", data, m_tmpl)
+    # Fields added after a snapshot was written backfill from the zero
+    # template (see _rebuild); two of them are NOT safe as zeros and need
+    # semantic defaults:
+    if "map/landmarks/desc_anchor" not in data:
+        # zero anchors would win min-Hamming association for low-popcount
+        # descriptors; the newest descriptor is the correct stand-in (it
+        # was the ONLY stored descriptor when the snapshot was written)
+        ms = ms._replace(landmarks=ms.landmarks._replace(
+            desc_anchor=ms.landmarks.desc_bits))
+    if "tracker/kf_xyz_w" not in data:
+        # no anchor points were stored: drop the last-keyframe arm so the
+        # next frame re-keyframes (one extra keyframe) instead of running
+        # keyframe-anchored PnP against all-zero world points
+        ts = ts._replace(has_kf=jnp.asarray(False))
     return ts, ms, config

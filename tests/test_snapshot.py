@@ -113,6 +113,31 @@ def test_system_save_restore_includes_place_state(tmp_path):
 
 
 @pytest.mark.slow
+def test_old_checkpoint_missing_fields_get_semantic_defaults(tmp_path):
+    """Snapshots written before desc_anchor / kf_xyz_w existed must not
+    backfill them as zeros: a zero anchor descriptor would win min-Hamming
+    association for low-popcount observations, and zero anchor world
+    points would poison keyframe-anchored PnP. The loader substitutes the
+    newest descriptor and drops the keyframe arm instead."""
+    frames = list(synthetic.generate_sequence(CAM, 6, seed=2))
+    slam = SLAMSystem(CFG, ba_async=False, enable_place_recognition=False)
+    for gray, depth, _, _, ts in frames:
+        slam.process(gray, depth, ts)
+    path = str(tmp_path / "new.npz")
+    snapshot.save(path, slam.tracker_state, slam.map_state, CFG)
+    # strip the post-v1 fields to fabricate an old-format checkpoint
+    data = dict(np.load(path))
+    del data["map/landmarks/desc_anchor"]
+    del data["tracker/kf_xyz_w"]
+    old_path = str(tmp_path / "old.npz")
+    np.savez_compressed(old_path, **data)
+    ts_state, ms_state, _ = snapshot.load(old_path)
+    np.testing.assert_array_equal(np.asarray(ms_state.landmarks.desc_anchor),
+                                  np.asarray(ms_state.landmarks.desc_bits))
+    assert not bool(ts_state.has_kf)
+
+
+@pytest.mark.slow
 def test_restore_drops_inflight_recovery_state(tmp_path):
     """restore() must clear a pending relocalization verdict and the lost
     streak: the verdict was computed against the pre-restore pose, so
