@@ -102,6 +102,27 @@ def _stage_breakdown(cfg, frames) -> dict:
     out["match_ransac_pnp_ms"] = round(
         max(out["track_step_ms"] - out["extract_ms"], 0.0), 3)
 
+    # ---- anchored tracking step (tracking.anchor_to_keyframe): the same
+    # step plus the absolute PnP against the last keyframe's world points —
+    # quantifies the cost of the recommended high-accuracy mode ----
+    import dataclasses as _dc
+    cfg_anchor = cfg.replace(tracking=_dc.replace(
+        cfg.tracking, anchor_to_keyframe=True))
+    step_a = tracker.make_jitted_step(cfg_anchor)
+    state_a = tracker.init_state(cfg_anchor)
+    for i in range(2):
+        state_a, tout_a = step_a(state_a, *frames[i])
+    jax.block_until_ready(tout_a.q_wc)
+
+    def one_a(i):
+        nonlocal state_a
+        g, d, _ = frames[2 + (i % 4)]
+        state_a, o = step_a(state_a, g, d,
+                            jnp.asarray(2.0 + i / 30.0, jnp.float32))
+        return o
+    dt = _time_loop(one_a, n, lambda o: o.q_wc)
+    out["track_step_anchored_ms"] = round(dt * 1e3, 3)
+
     # ---- keyframe insert (categorize/associate/allocate/triangulate) ----
     mstate = mapping.init_map(cfg)
     fm = filtered_mask(cfg)
