@@ -376,6 +376,35 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_train_detector(args) -> int:
+    """Train YOLOv8n on the synthetic dynamic world and save runtime-loadable
+    weights.  Replaces the reference's externally-downloaded pretrained
+    model (README.md:87-104) — zero-egress environments train their own."""
+    import json
+
+    from dynamic_visual_slam_tpu.models.convert_ultralytics import save_params
+    from dynamic_visual_slam_tpu.semantic import train as T
+
+    params, history = T.train(
+        steps=args.steps, batch=args.train_batch,
+        input_size=args.input_size, pool_images=args.pool,
+        lr=args.lr, seed=args.seed)
+    metrics = T.evaluate(params, input_size=args.input_size,
+                         n_images=args.eval_images, seed=args.seed + 991)
+    # embed the native input size: YoloDetector adopts it on load
+    params["input_size"] = int(args.input_size)
+    save_params(params, args.out)
+    report = dict(weights=args.out, steps=args.steps,
+                  input_size=args.input_size,
+                  loss_first=history[0], loss_last=history[-1],
+                  **{k: (round(v, 4) if isinstance(v, float) else v)
+                     for k, v in metrics.items()})
+    print(json.dumps(report, indent=2))
+    print(f"use: dynamic_visual_slam_tpu run --detector yolov8 "
+          f"--weights {args.out}")
+    return 0
+
+
 def main(argv: Optional[list] = None) -> int:
     p = argparse.ArgumentParser(prog="dynamic_visual_slam_tpu",
                                 description=__doc__,
@@ -451,6 +480,20 @@ def main(argv: Optional[list] = None) -> int:
                     help="keyframe-anchored tracking on the TPU side")
     pp.add_argument("--out-dir", default="parity_out")
     pp.set_defaults(fn=cmd_parity)
+
+    pt = sub.add_parser("train-detector",
+                        help="train YOLOv8n on the synthetic dynamic world "
+                             "(no pretrained weights needed)")
+    pt.add_argument("--steps", type=int, default=1500)
+    pt.add_argument("--train-batch", type=int, default=16)
+    pt.add_argument("--input-size", type=int, default=256)
+    pt.add_argument("--pool", type=int, default=384,
+                    help="rendered training images")
+    pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--eval-images", type=int, default=48)
+    pt.add_argument("--out", default="yolov8n_synth.npz")
+    pt.set_defaults(fn=cmd_train_detector)
 
     pi = sub.add_parser("info", help="print the resolved config")
     pi.add_argument("--preset", default=None)

@@ -116,14 +116,19 @@ def init_params(key: jax.Array, num_classes: int = NUM_CLASSES
 # ---------------------------------------------------------------------------
 
 def _conv(p, x, stride=1):
+    # weights cast to bf16 at use: a no-op for inference params (stored
+    # bf16) and the mixed-precision path for f32 training masters
+    # (semantic/train.py) — the MXU runs bf16 either way
     k = p["w"].shape[0]
     pad = (k - 1) // 2
+    # no preferred_element_type: its transpose rule rejects mixed
+    # bf16-input/f32-cotangent convs under grad (the MXU still accumulates
+    # in f32 internally; only the conv OUTPUT rounds through bf16)
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16), p["w"],
+        x.astype(jnp.bfloat16), p["w"].astype(jnp.bfloat16),
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
     y = y + p["b"].astype(jnp.float32)
     return (y * jax.nn.sigmoid(y)).astype(jnp.bfloat16)    # SiLU
 
@@ -162,9 +167,9 @@ def _head(p, x):
     # final 1x1 convs are linear (no act)
     def lin(q, z):
         y = jax.lax.conv_general_dilated(
-            z.astype(jnp.bfloat16), q["w"], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            z.astype(jnp.bfloat16), q["w"].astype(jnp.bfloat16), (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
         return y + q["b"].astype(jnp.float32)
     return lin(p["box3"], box), lin(p["cls3"], cls)
 

@@ -40,6 +40,13 @@ class YoloDetector:
             # no pretrained weights in the image (zero egress): random init —
             # exercises the full compute path; detections are meaningless
             self.params = yolov8.init_params(jax.random.key(seed))
+        # weights trained by semantic/train.py embed their native input
+        # size; honor it over the config default (a 256-trained net fed
+        # 640-px letterboxes is out-of-distribution)
+        isz = self.params.pop("input_size", None) \
+            if isinstance(self.params, dict) else None
+        if isz is not None:
+            self.size = int(np.asarray(isz, np.float32))
         s = self.size
         d = cfg.semantic.max_detections
         self._detect = jax.jit(lambda p, img: yolov8.detect(

@@ -1,0 +1,388 @@
+"""Train the in-process YOLOv8 detector on the synthetic dynamic world.
+
+The reference consumes an EXTERNAL pretrained YOLOv8 node (README.md:87-104,
+/yolo/tracking at backend.cpp:183-190) — weights it downloads from the
+internet.  No pretrained weights can enter this environment (zero egress),
+so this module closes the gap from first principles: the synthetic renderer
+(io/synthetic.py) provides unlimited labeled dynamic scenes with EXACT
+walker bboxes, and the same models/yolov8.py graph the pipeline runs for
+inference is trained here directly.
+
+Training formulation (anchor-free, matching the YOLOv8 head's native
+parameterization):
+- FCOS-style assignment: an anchor point is positive for a GT box when it
+  lies inside the box, within a center-sampling radius of the box center,
+  and the box is representable at that scale (max regression distance
+  < REG_MAX-1 strides).  Ambiguous anchors take the smallest-area box.
+- Class loss: sigmoid BCE over all anchors (the walkers are COCO class 0,
+  "person", so trained weights drop into the unmodified pipeline: class id
+  +1 → category 1 → filtered by SemanticConfig.filtered_classes).
+- Box loss on positives: Distribution Focal Loss on the per-side bin
+  distributions + (1 - IoU) on the decoded boxes — the exact decode used at
+  inference (models/yolov8.decode), so train and test see the same geometry.
+
+Everything is jitted; parameters train as f32 masters and are cast back to
+the inference bf16 layout on save, loadable by YoloDetector(weights_path=…).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_visual_slam_tpu.config import CameraConfig
+from dynamic_visual_slam_tpu.io import synthetic
+from dynamic_visual_slam_tpu.models import yolov8
+from dynamic_visual_slam_tpu.models.yolov8 import REG_MAX, STRIDES
+
+PERSON_CLASS = 0           # COCO id of "person" (semantic/classes.py)
+MAX_GT = 8                 # padded GT boxes per image
+
+
+# ---------------------------------------------------------------------------
+# Data: rendered dynamic frames → letterboxed training examples
+# ---------------------------------------------------------------------------
+
+def letterbox_np(gray: np.ndarray, size: int
+                 ) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+    """Host-side counterpart of YoloDetector.letterbox: (H,W) gray →
+    ((S,S,3) float32 [0,1], scale, (pad_x, pad_y)).  Uses the SAME
+    jax.image.resize bilinear (antialiased on downscale) and scale/pad math
+    as the runtime detector, so training images match what the detector
+    sees in the pipeline bit-for-bit (tests/test_semantic_train.py pins
+    the equivalence)."""
+    h, w = gray.shape[:2]
+    scale = min(size / h, size / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    img = jax.image.resize(jnp.asarray(gray, jnp.float32) / 255.0,
+                           (nh, nw), "bilinear")
+    px, py = (size - nw) // 2, (size - nh) // 2
+    canvas = np.full((size, size, 3), 0.447, np.float32)
+    canvas[py:py + nh, px:px + nw, :] = np.asarray(img)[..., None]
+    return canvas, scale, (px, py)
+
+
+def _scale_boxes(boxes: np.ndarray, scale: float, pad: Tuple[int, int]
+                 ) -> np.ndarray:
+    if len(boxes) == 0:
+        return boxes.reshape(0, 4)
+    b = boxes * scale
+    b[:, [0, 2]] += pad[0]
+    b[:, [1, 3]] += pad[1]
+    return b
+
+
+def _random_walkers(rng: np.random.Generator, n: int
+                    ) -> Tuple[synthetic.MovingObject, ...]:
+    """Randomized walkers: varied depth, start, speed, size, texture — the
+    detector must learn 'independently moving textured rectangle', not one
+    fixed configuration."""
+    objs = []
+    for i in range(n):
+        objs.append(synthetic.MovingObject(
+            z=float(rng.uniform(0.9, 1.5)),
+            center0=(float(rng.uniform(-0.8, 0.8)),
+                     float(rng.uniform(-0.25, 0.25))),
+            velocity=(float(rng.uniform(-0.3, 0.3)),
+                      float(rng.uniform(-0.05, 0.05))),
+            half_size=(float(rng.uniform(0.12, 0.30)),
+                       float(rng.uniform(0.22, 0.45))),
+            tex_id=int(rng.integers(5, 60))))
+    return tuple(objs)
+
+
+def render_pool(n_images: int, input_size: int = 256, seed: int = 0,
+                camera: Optional[CameraConfig] = None
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side dataset: (imgs (N,S,S,3) f32, boxes (N,MAX_GT,4) in input
+    px, mask (N,MAX_GT) bool).  Each image is a random viewpoint of a
+    random-seeded scene with 0–3 random walkers, letterboxed exactly like
+    the runtime detector letterboxes camera frames."""
+    rng = np.random.default_rng(seed)
+    cam = camera or CameraConfig(width=320, height=240, fx=260.0, fy=260.0,
+                                 cx=159.5, cy=119.5)
+    imgs = np.zeros((n_images, input_size, input_size, 3), np.float32)
+    boxes = np.zeros((n_images, MAX_GT, 4), np.float32)
+    mask = np.zeros((n_images, MAX_GT), bool)
+    i = 0
+    scene_id = 0
+    while i < n_images:
+        n_obj = int(rng.integers(0, 4))
+        scene = synthetic.SyntheticScene(
+            cam, seed=int(rng.integers(0, 10_000)),
+            objects=_random_walkers(rng, n_obj))
+        poses = synthetic.orbit_trajectory(
+            24, seed=int(rng.integers(0, 10_000)))
+        # a few spread-out frames per scene: cheaper than one scene per image
+        for j in range(0, 24, 8):
+            if i >= n_images:
+                break
+            r, t = poses[j]
+            ts = float(rng.uniform(0.0, 2.0))
+            gray, _ = scene.render(r, t, t_s=ts)
+            bb = scene.object_bboxes(r, t, ts)
+            img, sc, pad = letterbox_np(gray, input_size)
+            bb = _scale_boxes(bb, sc, pad)
+            if rng.uniform() < 0.5:          # horizontal flip augmentation
+                img = img[:, ::-1].copy()
+                if len(bb):
+                    x1 = input_size - 1.0 - bb[:, 2].copy()
+                    x2 = input_size - 1.0 - bb[:, 0].copy()
+                    bb[:, 0], bb[:, 2] = x1, x2
+            k = min(len(bb), MAX_GT)
+            imgs[i] = img
+            if k:
+                boxes[i, :k] = bb[:k]
+                mask[i, :k] = True
+            i += 1
+        scene_id += 1
+    return imgs, boxes, mask
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+def _anchor_grid(input_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All anchor-point centers across the three scales → (A,2) float32
+    (x, y) in input px and (A,) stride per anchor."""
+    pts, strides = [], []
+    for s in STRIDES:
+        h = w = input_size // s
+        cy, cx = jnp.meshgrid((jnp.arange(h) + 0.5) * s,
+                              (jnp.arange(w) + 0.5) * s, indexing="ij")
+        pts.append(jnp.stack([cx, cy], -1).reshape(-1, 2))
+        strides.append(jnp.full(h * w, s, jnp.float32))
+    return jnp.concatenate(pts), jnp.concatenate(strides)
+
+
+def _flatten_outputs(outs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-scale head outputs → (N,A,4*REG_MAX) box logits, (N,A,C) cls."""
+    bs, cs = [], []
+    for box, cls in outs:
+        n = box.shape[0]
+        bs.append(box.reshape(n, -1, 4 * REG_MAX))
+        cs.append(cls.reshape(n, -1, cls.shape[-1]))
+    return jnp.concatenate(bs, 1), jnp.concatenate(cs, 1)
+
+
+def _assign(points: jnp.ndarray, strides: jnp.ndarray, gt: jnp.ndarray,
+            gt_mask: jnp.ndarray, center_radius: float = 2.5
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FCOS-style assignment for ONE image: (A,) int32 index of the matched
+    GT (argmin area among candidates) and (A,) bool positive mask."""
+    x, y = points[:, 0:1], points[:, 1:2]                        # (A,1)
+    l = x - gt[None, :, 0]                                       # (A,K)
+    t = y - gt[None, :, 1]
+    r = gt[None, :, 2] - x
+    b = gt[None, :, 3] - y
+    inside = (jnp.minimum(jnp.minimum(l, t), jnp.minimum(r, b)) > 0)
+    dmax = jnp.maximum(jnp.maximum(l, t), jnp.maximum(r, b))
+    fits = dmax < (REG_MAX - 1) * strides[:, None]               # representable
+    cxk = (gt[None, :, 0] + gt[None, :, 2]) * 0.5
+    cyk = (gt[None, :, 1] + gt[None, :, 3]) * 0.5
+    near = (jnp.abs(x - cxk) < center_radius * strides[:, None]) \
+        & (jnp.abs(y - cyk) < center_radius * strides[:, None])
+    cand = inside & fits & near & gt_mask[None, :]
+    area = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
+    cost = jnp.where(cand, area[None, :], jnp.inf)
+    gt_idx = jnp.argmin(cost, axis=1).astype(jnp.int32)          # (A,)
+    pos = jnp.any(cand, axis=1)
+    return gt_idx, pos
+
+
+def _dfl_loss(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Distribution Focal Loss for one side-distance set: logits (...,
+    REG_MAX), continuous target in [0, REG_MAX-1] → CE against the two
+    adjacent integer bins, weighted by proximity."""
+    tl = jnp.clip(jnp.floor(target), 0, REG_MAX - 2)
+    wr = target - tl
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    il = tl.astype(jnp.int32)
+    pl = jnp.take_along_axis(logp, il[..., None], axis=-1)[..., 0]
+    pr = jnp.take_along_axis(logp, il[..., None] + 1, axis=-1)[..., 0]
+    return -(pl * (1.0 - wr) + pr * wr)
+
+
+def detection_loss(params: Dict[str, Any], imgs: jnp.ndarray,
+                   gt_boxes: jnp.ndarray, gt_mask: jnp.ndarray,
+                   input_size: int) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Total detection loss for a batch; aux dict carries the components."""
+    outs = yolov8.forward(params, imgs)
+    box_logits, cls_logits = _flatten_outputs(outs)      # (N,A,64), (N,A,C)
+    points, strides = _anchor_grid(input_size)
+
+    gt_idx, pos = jax.vmap(lambda g, m: _assign(points, strides, g, m))(
+        gt_boxes, gt_mask)                                # (N,A), (N,A)
+    n_pos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+
+    # class BCE: target 1 at (positive anchor, person) else 0
+    cls_tgt = jnp.zeros(cls_logits.shape).at[..., PERSON_CLASS].set(
+        pos.astype(jnp.float32))
+    cls_loss = jnp.sum(optax_sigmoid_bce(cls_logits, cls_tgt)) / n_pos
+
+    # box losses on positives
+    g = jnp.take_along_axis(gt_boxes, gt_idx[..., None], axis=1)  # (N,A,4)
+    l = (points[None, :, 0] - g[..., 0]) / strides[None]
+    t = (points[None, :, 1] - g[..., 1]) / strides[None]
+    r = (g[..., 2] - points[None, :, 0]) / strides[None]
+    b = (g[..., 3] - points[None, :, 1]) / strides[None]
+    tgt = jnp.clip(jnp.stack([l, t, r, b], -1), 0.0, REG_MAX - 1 - 1e-3)
+    dfl = _dfl_loss(box_logits.reshape(*box_logits.shape[:-1], 4, REG_MAX),
+                    tgt)                                  # (N,A,4)
+    dfl_loss = jnp.sum(jnp.where(pos[..., None], dfl, 0.0)) / (4.0 * n_pos)
+
+    # IoU on decoded boxes (the inference decode: expected bin value)
+    bins = jnp.arange(REG_MAX, dtype=jnp.float32)
+    dist = jnp.sum(jax.nn.softmax(
+        box_logits.reshape(*box_logits.shape[:-1], 4, REG_MAX), -1) * bins,
+        -1) * strides[None, :, None]                      # (N,A,4) px
+    px1 = points[None, :, 0] - dist[..., 0]
+    py1 = points[None, :, 1] - dist[..., 1]
+    px2 = points[None, :, 0] + dist[..., 2]
+    py2 = points[None, :, 1] + dist[..., 3]
+    ix1 = jnp.maximum(px1, g[..., 0])
+    iy1 = jnp.maximum(py1, g[..., 1])
+    ix2 = jnp.minimum(px2, g[..., 2])
+    iy2 = jnp.minimum(py2, g[..., 3])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    a_p = jnp.maximum(px2 - px1, 0) * jnp.maximum(py2 - py1, 0)
+    a_g = (g[..., 2] - g[..., 0]) * (g[..., 3] - g[..., 1])
+    iou = inter / jnp.maximum(a_p + a_g - inter, 1e-9)
+    iou_loss = jnp.sum(jnp.where(pos, 1.0 - iou, 0.0)) / n_pos
+
+    total = 0.5 * cls_loss + 1.5 * dfl_loss + 5.0 * iou_loss
+    return total, dict(cls=cls_loss, dfl=dfl_loss, iou=iou_loss,
+                       n_pos=n_pos)
+
+
+def optax_sigmoid_bce(logits: jnp.ndarray, targets: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Numerically-stable sigmoid binary cross-entropy."""
+    return jnp.maximum(logits, 0) - logits * targets \
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+# ---------------------------------------------------------------------------
+# Training loop
+# ---------------------------------------------------------------------------
+
+def _to_f32(params):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if isinstance(x, (jnp.ndarray, np.ndarray)) and
+        jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, params)
+
+
+def _to_bf16(params):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if isinstance(x, (jnp.ndarray, np.ndarray)) and
+        jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, params)
+
+
+def train(steps: int = 1500, batch: int = 16, input_size: int = 256,
+          pool_images: int = 384, lr: float = 1e-3, seed: int = 0,
+          params: Optional[Dict[str, Any]] = None,
+          log_every: int = 100, verbose: bool = True
+          ) -> Tuple[Dict[str, Any], List[float]]:
+    """Train yolov8n on the synthetic dynamic world; returns (bf16 inference
+    params, loss history).  ~2 min pool render + a few min of steps on one
+    TPU chip at the defaults; shrink steps/pool/input_size for CPU tests."""
+    import optax
+
+    if verbose:
+        print(f"rendering {pool_images} training images "
+              f"(S={input_size}) ...", flush=True)
+    imgs, boxes, mask = render_pool(pool_images, input_size, seed=seed)
+    params = _to_f32(params if params is not None
+                     else yolov8.init_params(jax.random.key(seed)))
+    # the int num_classes leaf is metadata, not a differentiable weight
+    num_classes = params.pop("num_classes", yolov8.NUM_CLASSES)
+
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(sched, weight_decay=1e-5))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, bi, bb, bm):
+        (loss, aux), grads = jax.value_and_grad(
+            detection_loss, has_aux=True)(params, bi, bb, bm, input_size)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    rng = np.random.default_rng(seed + 1)
+    history: List[float] = []
+    for it in range(steps):
+        idx = rng.integers(0, pool_images, batch)
+        params, opt_state, loss, aux = step_fn(
+            params, opt_state, jnp.asarray(imgs[idx]),
+            jnp.asarray(boxes[idx]), jnp.asarray(mask[idx]))
+        if it % log_every == 0 or it == steps - 1:
+            lv = float(loss)
+            history.append(lv)
+            if verbose:
+                print(f"step {it:5d}  loss {lv:7.4f}  "
+                      f"cls {float(aux['cls']):6.4f} "
+                      f"dfl {float(aux['dfl']):6.4f} "
+                      f"iou {float(aux['iou']):6.4f} "
+                      f"pos {float(aux['n_pos']) / batch:5.1f}", flush=True)
+    params = _to_bf16(params)
+    params["num_classes"] = num_classes
+    return params, history
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+def evaluate(params: Dict[str, Any], input_size: int = 256,
+             n_images: int = 48, seed: int = 99, score_thr: float = 0.25,
+             iou_match: float = 0.5) -> Dict[str, float]:
+    """Held-out detection quality: mean best-IoU per GT box, recall and
+    precision at IoU `iou_match` (person class only)."""
+    imgs, boxes, mask = render_pool(n_images, input_size, seed=seed)
+    best_ious, n_gt, n_hit, n_det, n_tp = [], 0, 0, 0, 0
+    for i in range(n_images):
+        raw = yolov8.detect(params, jnp.asarray(imgs[i]), input_size, 16,
+                            score_thr)
+        db = np.asarray(raw.boxes)
+        dv = np.asarray(raw.valid) & (np.asarray(raw.classes) == PERSON_CLASS)
+        gb = boxes[i][mask[i]]
+        n_gt += len(gb)
+        n_det += int(dv.sum())
+        matched_det = np.zeros(len(db), bool)
+        for g in gb:
+            ious = _iou_np(g, db)
+            ious[~dv] = 0.0
+            j = int(np.argmax(ious))
+            best_ious.append(float(ious[j]))
+            if ious[j] >= iou_match:
+                n_hit += 1
+                if not matched_det[j]:
+                    n_tp += 1
+                    matched_det[j] = True
+    return dict(
+        mean_best_iou=float(np.mean(best_ious)) if best_ious else 0.0,
+        recall=n_hit / max(n_gt, 1),
+        precision=n_tp / max(n_det, 1),
+        n_gt=n_gt, n_detections=n_det)
+
+
+def _iou_np(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    if len(boxes) == 0:
+        return np.zeros(0, np.float32)
+    x1 = np.maximum(box[0], boxes[:, 0])
+    y1 = np.maximum(box[1], boxes[:, 1])
+    x2 = np.minimum(box[2], boxes[:, 2])
+    y2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    a1 = max(box[2] - box[0], 0) * max(box[3] - box[1], 0)
+    a2 = np.maximum(boxes[:, 2] - boxes[:, 0], 0) \
+        * np.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    return inter / np.maximum(a1 + a2 - inter, 1e-9)
