@@ -35,6 +35,19 @@ from dynamic_visual_slam_tpu.frontend import tracker
 from dynamic_visual_slam_tpu.semantic.classes import filtered_mask
 
 
+def _start_host_copy(arr) -> None:
+    """Kick off the device→host copy of a telemetry array WITHOUT blocking:
+    the runtime moves the bytes as soon as the producing computation
+    finishes, so the eventual device_get in _drain_results finds them
+    already host-side. On a tunneled/remote TPU a blocking read with work
+    in flight costs 0.1–1 s of polling backoff per drain; pre-issuing the
+    copy at dispatch time makes the drain a (near-)free memcpy."""
+    try:
+        arr.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass  # backends without async host copies fall back to the drain
+
+
 def _correct_tracker(tstate, q_c: jnp.ndarray, t_c: jnp.ndarray):
     """Left-compose a world-frame correction onto the live tracker: pose
     T ← T_c ∘ T, and the stored last-keyframe anchor points x ← R_c x + t_c
@@ -352,6 +365,7 @@ class SLAMSystem:
         self.tracker_state, self.map_state, out, telem = self._step_insert(
             self.tracker_state, self.map_state, jnp.asarray(gray),
             jnp.asarray(depth_m), jnp.asarray(ts_rel, jnp.float32), det)
+        _start_host_copy(telem)
         self._pending_out.append((timestamp, out, telem))
 
         newest = None
@@ -397,6 +411,7 @@ class SLAMSystem:
         self.tracker_state, self.map_state, outs, telems = self._batch_step(
             self.tracker_state, self.map_state, jnp.asarray(grays),
             jnp.asarray(depths), ts_rel, det)
+        _start_host_copy(telems)
         self._pending_out.append((list(timestamps), outs, telems))
 
         self._ba_tick(float(timestamps[-1]) - self._t0, timestamps[-1])
