@@ -399,6 +399,11 @@ def cmd_train_detector(args) -> int:
                   loss_first=history[0], loss_last=history[-1],
                   **{k: (round(v, 4) if isinstance(v, float) else v)
                      for k, v in metrics.items()})
+    if args.in_loop_frames > 0:
+        # end-to-end efficacy: culling off vs GT bboxes vs THIS detector on
+        # the same dynamic sequence (ATE + walker-contaminated landmarks)
+        report["in_loop"] = T.in_loop_eval(
+            params, n_frames=args.in_loop_frames, seed=args.seed)
     print(json.dumps(report, indent=2))
     print(f"use: dynamic_visual_slam_tpu run --detector yolov8 "
           f"--weights {args.out}")
@@ -492,6 +497,11 @@ def main(argv: Optional[list] = None) -> int:
     pt.add_argument("--lr", type=float, default=1e-3)
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--eval-images", type=int, default=48)
+    pt.add_argument("--in-loop-frames", type=int, default=0, metavar="N",
+                    help="after training, run the N-frame dynamic walker "
+                         "sequence with culling off / GT bboxes / this "
+                         "detector and report ATE + walker-landmark counts "
+                         "(the end-to-end efficacy proof)")
     pt.add_argument("--out", default="yolov8n_synth.npz")
     pt.set_defaults(fn=cmd_train_detector)
 

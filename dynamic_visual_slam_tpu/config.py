@@ -226,6 +226,16 @@ class SemanticConfig:
     score_threshold: float = 0.25
     iou_threshold: float = 0.45
     input_size: int = 640
+    # Culling-robustness post-processing on LEARNED detector outputs (GT
+    # boxes are exact and bypass it): each box is dilated by box_margin ×
+    # its width/height, and keeps being served for persist_frames frames.
+    # A walker the detector misses for a frame or two is still covered by
+    # the previous frame's dilated box (dynamic objects that matter move
+    # ~1-2 px/frame, far less than the dilation slack), which is what
+    # closes the gap between a recall<1 learned detector and ground truth
+    # in the end-to-end culling proof (semantic/train.in_loop_eval).
+    box_margin: float = 0.15
+    persist_frames: int = 3
     # id used when no bbox contains the pixel (backend.cpp:1028)
     unlabeled_category: str = "unlabeled"
 

@@ -253,6 +253,27 @@ def loop_trajectory(n_frames: int, radius: float = 0.35
     return poses
 
 
+def walker_swept_hits(xyz: np.ndarray, objects: Tuple[MovingObject, ...],
+                      duration_s: float) -> np.ndarray:
+    """(L,3) world points → bool mask of points inside any walker's swept
+    slab (|z - obj.z| small, x/y within the band the object covered during
+    [0, duration_s]).  The map-contamination oracle for dynamic-robustness
+    tests: a landmark inside this volume was triangulated ON a moving
+    object — exactly what the reference's semantic culling exists to
+    prevent (backend.cpp:746-751)."""
+    xyz = np.asarray(xyz).reshape(-1, 3)
+    hit = np.zeros(len(xyz), bool)
+    for o in objects:
+        xs = [o.center(0.0)[0], o.center(duration_s)[0]]
+        ys = [o.center(0.0)[1], o.center(duration_s)[1]]
+        hit |= ((np.abs(xyz[:, 2] - o.z) < 0.08)
+                & (xyz[:, 0] > min(xs) - o.half_size[0])
+                & (xyz[:, 0] < max(xs) + o.half_size[0])
+                & (xyz[:, 1] > min(ys) - o.half_size[1])
+                & (xyz[:, 1] < max(ys) + o.half_size[1]))
+    return hit
+
+
 def generate_dynamic_sequence(
         camera: CameraConfig, n_frames: int, seed: int = 0,
         objects: Tuple[MovingObject, ...] = None, depth_noise: float = 0.0,

@@ -52,6 +52,7 @@ class YoloDetector:
         self._detect = jax.jit(lambda p, img: yolov8.detect(
             p, img, s, d, cfg.semantic.score_threshold,
             cfg.semantic.iou_threshold))
+        self._recent = []   # (boxes, category, score) of recent frames
 
     def letterbox(self, rgb: np.ndarray):
         """(H,W,3) uint8/float → ((S,S,3) float32 [0,1], scale, (pad_x, pad_y))."""
@@ -73,11 +74,55 @@ class YoloDetector:
         h, w = rgb.shape[:2]
         boxes = jnp.clip(boxes, 0.0, jnp.asarray([w - 1, h - 1, w - 1, h - 1],
                                                  jnp.float32))
-        return Detections(
-            boxes=boxes,
-            category=(raw.classes + 1).astype(jnp.int32),  # 0 = unlabeled
-            score=raw.scores,
-            mask=raw.valid)
+        return self._postprocess(np.asarray(boxes),
+                                 np.asarray(raw.classes) + 1,
+                                 np.asarray(raw.scores),
+                                 np.asarray(raw.valid), (h, w))
+
+    def _postprocess(self, boxes: np.ndarray, category: np.ndarray,
+                     score: np.ndarray, valid: np.ndarray,
+                     hw) -> Detections:
+        """Culling-robustness post-processing (SemanticConfig.box_margin /
+        persist_frames): dilate each box by margin × its size, then serve
+        the union of the last persist_frames frames' dilated boxes.  A
+        learned detector with recall < 1 misses a walker for a frame here
+        and there; without this, every miss leaks its keypoints past the
+        semantic stage and a handful of leaks is enough to confirm walker
+        landmarks (measured: 62 confirmed walker landmarks at recall 0.78
+        without persistence vs ~GT-level with it)."""
+        sc = self.cfg.semantic
+        h, w = hw
+        k = int(np.sum(valid))
+        order = np.argsort(~valid)          # valid rows first
+        b = boxes[order][:k].astype(np.float32)
+        c = category[order][:k].astype(np.int32)
+        s = score[order][:k].astype(np.float32)
+        if sc.box_margin > 0 and k:
+            mw = (b[:, 2] - b[:, 0]) * sc.box_margin
+            mh = (b[:, 3] - b[:, 1]) * sc.box_margin
+            b = np.stack([np.maximum(b[:, 0] - mw, 0.0),
+                          np.maximum(b[:, 1] - mh, 0.0),
+                          np.minimum(b[:, 2] + mw, w - 1.0),
+                          np.minimum(b[:, 3] + mh, h - 1.0)], axis=1)
+        if sc.persist_frames > 1:
+            self._recent.append((b, c, s))
+            if len(self._recent) > sc.persist_frames:
+                self._recent.pop(0)
+            b = np.concatenate([x[0] for x in self._recent])
+            c = np.concatenate([x[1] for x in self._recent])
+            s = np.concatenate([x[2] for x in self._recent])
+        cap = sc.max_detections
+        if len(b) > cap:                    # newest frames win the slots
+            b, c, s = b[-cap:], c[-cap:], s[-cap:]
+        out_b = np.zeros((cap, 4), np.float32)
+        out_c = np.zeros(cap, np.int32)
+        out_s = np.zeros(cap, np.float32)
+        n = len(b)
+        out_b[:n], out_c[:n], out_s[:n] = b, c, s
+        return Detections(boxes=jnp.asarray(out_b),
+                          category=jnp.asarray(out_c),
+                          score=jnp.asarray(out_s),
+                          mask=jnp.asarray(np.arange(cap) < n))
 
 
 def boxes_to_detections(boxes: np.ndarray, capacity: int,

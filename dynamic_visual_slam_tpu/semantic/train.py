@@ -374,6 +374,73 @@ def evaluate(params: Dict[str, Any], input_size: int = 256,
         n_gt=n_gt, n_detections=n_det)
 
 
+def in_loop_eval(params: Dict[str, Any], n_frames: int = 180, seed: int = 0,
+                 width: int = 320, height: int = 240,
+                 conditions: Tuple[str, ...] = ("off", "gt", "learned"),
+                 verbose: bool = True) -> Dict[str, Dict[str, float]]:
+    """Detector-in-the-loop efficacy: run the SAME dynamic walker sequence
+    with culling OFF, with GT bboxes, and with the LEARNED detector, and
+    report ATE + walker-contaminated landmarks for each.
+
+    This is the end-to-end proof that a *trained* detector protects the
+    map the way the reference's external pretrained YOLO does
+    (backend.cpp:746-751, 1011-1029): 'learned' should land near 'gt'
+    (both materially better than 'off') on ATE and on confirmed landmarks
+    inside the walkers' swept volume."""
+    from dynamic_visual_slam_tpu.config import SLAMConfig
+    from dynamic_visual_slam_tpu.io.trajectory import ate_rmse
+    from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
+    from dynamic_visual_slam_tpu.semantic.detector import (YoloDetector,
+                                                           boxes_to_detections)
+
+    cam = CameraConfig(width=width, height=height,
+                       fx=260.0 * width / 320.0, fy=260.0 * width / 320.0,
+                       cx=(width - 1) / 2.0, cy=(height - 1) / 2.0)
+    cfg = SLAMConfig().replace(camera=cam)
+    frames = list(synthetic.generate_dynamic_sequence(
+        cam, n_frames, seed=seed, depth_noise=0.004))
+    gt_t = np.stack([f[3] for f in frames])
+    objs = synthetic.default_walkers(n_frames)
+    dur = n_frames / 30.0
+
+    detector = None
+    if "learned" in conditions:
+        # dict(params) so YoloDetector's input_size pop never mutates the
+        # caller's dict (it may still be headed for save_params)
+        detector = YoloDetector(cfg, params=dict(params))
+
+    results: Dict[str, Dict[str, float]] = {}
+    for cond in conditions:
+        slam = SLAMSystem(cfg, ba_async=False,
+                          enable_place_recognition=False)
+        n_det_boxes = 0
+        for gray, depth, _, _, ts, boxes in frames:
+            if cond == "gt":
+                det = boxes_to_detections(boxes, cfg.semantic.max_detections)
+            elif cond == "learned":
+                rgb = np.stack([gray] * 3, axis=-1)
+                det = detector(rgb)
+                n_det_boxes += int(np.sum(np.asarray(det.mask)))
+            else:
+                det = None
+            slam.process(gray, depth, ts, detections=det)
+        slam.finalize()
+        _, _, est_t = slam.frontend_trajectory()
+        lms = slam.landmarks_world()
+        hits = synthetic.walker_swept_hits(lms["xyz"], objs, dur)
+        results[cond] = dict(
+            ate_m=round(float(ate_rmse(est_t, gt_t)), 5),
+            walker_landmarks_confirmed=int(np.sum(hits & (lms["n_obs"] >= 2))),
+            walker_landmarks_any=int(np.sum(hits)),
+            landmarks=int(len(lms["xyz"])),
+            keyframes=slam.stats["keyframes"])
+        if cond == "learned":
+            results[cond]["detections_total"] = n_det_boxes
+        if verbose:
+            print(f"in-loop [{cond:7s}] {results[cond]}", flush=True)
+    return results
+
+
 def _iou_np(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     if len(boxes) == 0:
         return np.zeros(0, np.float32)

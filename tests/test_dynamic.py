@@ -24,20 +24,9 @@ CAM = CameraConfig(width=160, height=120, fx=130.0, fy=130.0,
                    cx=79.5, cy=59.5)
 
 
-def _walker_hits(xyz, objs, dur):
-    """(L,3) landmark positions → bool mask of points inside any walker's
-    swept slab (|z - obj.z| < 0.08, x/y within the band the object
-    covered during [0, dur])."""
-    hit = np.zeros(len(xyz), bool)
-    for o in objs:
-        xs = [o.center(0.0)[0], o.center(dur)[0]]
-        ys = [o.center(0.0)[1], o.center(dur)[1]]
-        hit |= ((np.abs(xyz[:, 2] - o.z) < 0.08)
-                & (xyz[:, 0] > min(xs) - o.half_size[0])
-                & (xyz[:, 0] < max(xs) + o.half_size[0])
-                & (xyz[:, 1] > min(ys) - o.half_size[1])
-                & (xyz[:, 1] < max(ys) + o.half_size[1]))
-    return hit
+# the map-contamination oracle lives with the renderer (also used by
+# semantic/train.in_loop_eval for the learned-detector efficacy report)
+_walker_hits = synthetic.walker_swept_hits
 
 
 def test_gt_bboxes_cover_walker_pixels():

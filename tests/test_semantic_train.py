@@ -123,6 +123,25 @@ def test_loss_grads_flow_and_short_run_reduces_loss():
 
 
 @pytest.mark.slow
+def test_in_loop_eval_reports_all_conditions():
+    """in_loop_eval plumbing at toy scale: random-init detector (meaningless
+    boxes) through the full SLAM loop alongside the culling-off baseline —
+    pins the report schema and that a learned-detector condition actually
+    drives the pipeline's Detections path end to end."""
+    params = T._to_bf16(yolov8.init_params(jax.random.key(0)))
+    params["input_size"] = 64      # tiny letterbox → cheap CPU compile
+    res = T.in_loop_eval(params, n_frames=12, width=160, height=120,
+                         conditions=("off", "learned"), verbose=False)
+    assert set(res) == {"off", "learned"}
+    for cond in res:
+        for key in ("ate_m", "walker_landmarks_confirmed",
+                    "walker_landmarks_any", "landmarks", "keyframes"):
+            assert key in res[cond], (cond, key)
+        assert np.isfinite(res[cond]["ate_m"])
+    assert "detections_total" in res["learned"]
+
+
+@pytest.mark.slow
 def test_train_end_to_end_detects_walkers():
     """Full loop at toy scale: train() → bf16 params → evaluate() recall on
     held-out scenes beats the random-init baseline by a wide margin."""

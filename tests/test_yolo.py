@@ -83,8 +83,49 @@ class TestDetectorWrapper:
         b = np.asarray(d.boxes)
         assert (b >= 0).all() and (b[:, [0, 2]] <= 423).all() \
             and (b[:, [1, 3]] <= 239).all()
-        # class ids shifted: 0 reserved for unlabeled
-        assert (np.asarray(d.category) >= 1).all()
+        # class ids shifted: 0 reserved for unlabeled (padded slots are 0
+        # and masked off)
+        m = np.asarray(d.mask)
+        assert (np.asarray(d.category)[m] >= 1).all()
+
+    def test_postprocess_dilates_and_persists(self):
+        """SemanticConfig.box_margin / persist_frames: a detection is
+        dilated by margin × size and keeps being served for persist_frames
+        frames after the detector last saw it — the recall<1 leak guard
+        the in-loop efficacy eval depends on."""
+        cfg = SLAMConfig()   # box_margin=0.15, persist_frames=3
+        cap = cfg.semantic.max_detections
+
+        class _Shim:         # _postprocess only reads .cfg and ._recent
+            pass
+        shim = _Shim()
+        shim.cfg = cfg
+        shim._recent = []
+
+        boxes = np.zeros((cap, 4), np.float32)
+        boxes[0] = [20.0, 20.0, 60.0, 100.0]     # w=40, h=80
+        cat = np.full(cap, 1, np.int32)
+        score = np.full(cap, 0.9, np.float32)
+        valid = np.zeros(cap, bool)
+        valid[0] = True
+        d1 = YoloDetector._postprocess(shim, boxes, cat, score, valid,
+                                       (240, 424))
+        m1 = np.asarray(d1.mask)
+        assert m1.sum() == 1
+        np.testing.assert_allclose(np.asarray(d1.boxes)[0],
+                                   [14.0, 8.0, 66.0, 112.0])  # ±15 %
+        # two empty frames: the dilated box is still served (persistence)
+        none = np.zeros(cap, bool)
+        for _ in range(2):
+            d = YoloDetector._postprocess(shim, boxes, cat, score, none,
+                                          (240, 424))
+        assert int(np.asarray(d.mask).sum()) == 1
+        np.testing.assert_allclose(np.asarray(d.boxes)[0],
+                                   [14.0, 8.0, 66.0, 112.0])
+        # third empty frame: the original detection ages out
+        d = YoloDetector._postprocess(shim, boxes, cat, score, none,
+                                      (240, 424))
+        assert int(np.asarray(d.mask).sum()) == 0
 
     def test_letterbox_geometry(self):
         cfg = SLAMConfig().replace(
