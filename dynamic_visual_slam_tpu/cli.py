@@ -66,7 +66,13 @@ def cmd_run(args) -> int:
             return 2
         detector = GTDetector(cfg)
 
+    vocab = getattr(args, "vocab", None)
+    if vocab and not os.path.exists(vocab):
+        print(f"error: vocabulary '{vocab}' not found (train one with "
+              "`cli train-vocab`)", file=sys.stderr)
+        return 2
     slam = SLAMSystem(cfg, loop_pgo=getattr(args, "loop_pgo", False),
+                      vocab_path=vocab or None,
                       enable_relocalization=not getattr(args, "no_reloc",
                                                         False))
     if getattr(args, "resume", None):
@@ -410,6 +416,22 @@ def cmd_train_detector(args) -> int:
     return 0
 
 
+def cmd_train_vocab(args) -> int:
+    """Train the pretrained BoW vocabulary asset (the ORBvoc.txt equivalent
+    the reference downloads; zero-egress environments build their own from
+    synthetic worlds + the production ORB extractor)."""
+    from dynamic_visual_slam_tpu.place.pretrain import (
+        train_pretrained_vocabulary)
+
+    report = train_pretrained_vocabulary(
+        args.out, k=args.branching, depth=args.depth,
+        n_scenes=args.scenes, frames_per_scene=args.frames_per_scene,
+        per_frame=args.per_frame, seed=args.seed)
+    print(json.dumps(report, indent=2))
+    print(f"use: dynamic_visual_slam_tpu run --vocab {report['path']}")
+    return 0
+
+
 def main(argv: Optional[list] = None) -> int:
     p = argparse.ArgumentParser(prog="dynamic_visual_slam_tpu",
                                 description=__doc__,
@@ -459,6 +481,10 @@ def main(argv: Optional[list] = None) -> int:
                          "against the last keyframe's stored world points "
                          "(drift compounds per keyframe, not per frame — "
                          "cfg.tracking.anchor_to_keyframe)")
+    pr.add_argument("--vocab", default=None, metavar="NPZ",
+                    help="pretrained BoW vocabulary (cli train-vocab output; "
+                         "e.g. assets/orbvoc_synth.npz) — place recognition "
+                         "active from keyframe 0, no online vocab training")
     pr.add_argument("--resume", default=None, metavar="CKPT",
                     help="restore a --save-state checkpoint (tracker + map "
                          "+ BoW place database) before processing")
@@ -504,6 +530,19 @@ def main(argv: Optional[list] = None) -> int:
                          "(the end-to-end efficacy proof)")
     pt.add_argument("--out", default="yolov8n_synth.npz")
     pt.set_defaults(fn=cmd_train_detector)
+
+    pv = sub.add_parser("train-vocab",
+                        help="train the pretrained BoW vocabulary asset "
+                             "(ORBvoc.txt equivalent, no downloads)")
+    pv.add_argument("--branching", type=int, default=10)
+    pv.add_argument("--depth", type=int, default=3)
+    pv.add_argument("--scenes", type=int, default=12)
+    pv.add_argument("--frames-per-scene", type=int, default=24)
+    pv.add_argument("--per-frame", type=int, default=500,
+                    help="descriptors sampled per frame")
+    pv.add_argument("--seed", type=int, default=0)
+    pv.add_argument("--out", default="assets/orbvoc_synth.npz")
+    pv.set_defaults(fn=cmd_train_vocab)
 
     pi = sub.add_parser("info", help="print the resolved config")
     pi.add_argument("--preset", default=None)

@@ -91,6 +91,11 @@ class SLAMSystem:
     # ready" but never calls it, SURVEY.md C7 — here it actually runs)
     enable_place_recognition: bool = True
     vocab_train_keyframes: int = 4     # train vocabulary after N keyframes
+    # Pretrained vocabulary (place/bow.save_vocabulary npz — the ORBvoc.txt
+    # deployment mode, trained offline by `cli train-vocab`): loaded at
+    # startup, so the BoW database exists from keyframe 0 and no online
+    # vocabulary training happens. None = train online as above.
+    vocab_path: Optional[str] = None
     loop_min_gap: int = 10             # ignore the most recent N keyframes
     loop_min_score: float = 0.12
     # geometric verification of BoW candidates: descriptor matching +
@@ -327,6 +332,11 @@ class SLAMSystem:
         self.ba_log: List[Dict[str, Any]] = []
         self.loop_candidates: List[Dict[str, Any]] = []
         self._bow_db = None
+        if self.vocab_path is not None:
+            from dynamic_visual_slam_tpu.place import bow
+            self._bow_db = bow.Database(
+                bow.load_vocabulary(self.vocab_path),
+                capacity=self.config.place.max_db_entries)
         self._kf_descs: List[Any] = []   # pre-vocabulary descriptor buffer
         # DB slot → (monotone seq id, padded device desc/uv/mask)
         self._kf_store: Dict[int, Any] = {}
@@ -727,6 +737,8 @@ class SLAMSystem:
                 used=np.asarray(self._bow_db.used),
                 count=self._bow_db.count,
                 word_weights=np.asarray(self._bow_db.vocabulary.word_weights),
+                voc_k=np.asarray(self._bow_db.vocabulary.k),
+                voc_depth=np.asarray(self._bow_db.vocabulary.depth),
                 kfseq_counter=self._kf_seq)
             for l, (lv, va) in enumerate(zip(self._bow_db.vocabulary.levels,
                                              self._bow_db.vocabulary.valid)):
@@ -772,9 +784,15 @@ class SLAMSystem:
         place_path = path + ".place.npz"
         if os.path.exists(place_path):
             data = np.load(place_path)
-            depth = self.config.place.depth
+            # vocabulary dims come from the snapshot itself (a pretrained
+            # vocab_path vocabulary need not match config.place's online-
+            # training dims); fall back to config for older snapshots
+            depth = int(data["voc_depth"]) if "voc_depth" in data.files \
+                else self.config.place.depth
+            voc_k = int(data["voc_k"]) if "voc_k" in data.files \
+                else self.config.place.branching
             voc = bow.Vocabulary(
-                k=self.config.place.branching, depth=depth,
+                k=voc_k, depth=depth,
                 levels=[jnp.asarray(data[f"voc_level_{l}"])
                         for l in range(depth)],
                 valid=[jnp.asarray(data[f"voc_valid_{l}"])

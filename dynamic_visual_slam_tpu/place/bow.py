@@ -223,6 +223,34 @@ def load_orbvoc_text(path: str) -> Vocabulary:
                       word_weights=jnp.asarray(np.maximum(weights, 1e-6)))
 
 
+def save_vocabulary(voc: Vocabulary, path: str) -> None:
+    """Persist a vocabulary as compressed npz — the rebuild's ORBvoc.txt
+    equivalent (the reference ships DBoW2's pretrained text vocabulary in
+    its package share dir, test_dbow2_integration.cpp:63-126; zero-egress
+    environments train and ship their own instead, cli train-vocab)."""
+    arrs = dict(k=np.asarray(voc.k), depth=np.asarray(voc.depth),
+                word_weights=np.asarray(voc.word_weights))
+    for l, (lv, va) in enumerate(zip(voc.levels, voc.valid)):
+        arrs[f"level_{l}"] = np.packbits(np.asarray(lv, np.uint8), axis=1)
+        arrs[f"valid_{l}"] = np.asarray(va)
+    np.savez_compressed(path, **arrs)
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    """Load a save_vocabulary() npz."""
+    data = np.load(path)
+    depth = int(data["depth"])
+    levels, valids = [], []
+    for l in range(depth):
+        bits = np.unpackbits(data[f"level_{l}"], axis=1, count=256)
+        levels.append(jnp.asarray(bits))
+        valids.append(jnp.asarray(data[f"valid_{l}"]))
+    return Vocabulary(k=int(data["k"]), depth=depth, levels=levels,
+                      valid=valids,
+                      word_weights=jnp.asarray(data["word_weights"],
+                                               jnp.float32))
+
+
 # ---------------------------------------------------------------------------
 # Database
 # ---------------------------------------------------------------------------

@@ -88,3 +88,35 @@ class TestDatabase:
         s = float(bow.l1_score(v1, v2))
         assert 0.0 <= s <= 1.0
         assert float(bow.l1_score(v1, v1)) > 0.999
+
+
+class TestPretrainedVocabulary:
+    def test_save_load_roundtrip(self, world, tmp_path):
+        """save_vocabulary/load_vocabulary (the ORBvoc.txt-equivalent asset
+        format): identical descent and weights after a disk roundtrip."""
+        places, voc, _ = world
+        path = str(tmp_path / "voc.npz")
+        bow.save_vocabulary(voc, path)
+        voc2 = bow.load_vocabulary(path)
+        assert (voc2.k, voc2.depth, voc2.n_words) == \
+            (voc.k, voc.depth, voc.n_words)
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rand_descs(rng, 40))
+        np.testing.assert_array_equal(np.asarray(bow.descend(voc, q)),
+                                      np.asarray(bow.descend(voc2, q)))
+        np.testing.assert_allclose(np.asarray(voc.word_weights),
+                                   np.asarray(voc2.word_weights), rtol=1e-6)
+
+    def test_slam_system_loads_vocab_at_startup(self, world, tmp_path):
+        """SLAMSystem(vocab_path=...) has a live BoW database before any
+        keyframe — the pretrained deployment mode (no online training)."""
+        from dynamic_visual_slam_tpu.config import CameraConfig, SLAMConfig
+        from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
+        _, voc, _ = world
+        path = str(tmp_path / "voc.npz")
+        bow.save_vocabulary(voc, path)
+        cam = CameraConfig(width=160, height=120, fx=130.0, fy=130.0,
+                           cx=79.5, cy=59.5)
+        slam = SLAMSystem(SLAMConfig().replace(camera=cam), vocab_path=path)
+        assert slam._bow_db is not None
+        assert slam._bow_db.vocabulary.n_words == voc.n_words
