@@ -177,12 +177,14 @@ def _run() -> None:
     # frontend.cpp:1076-1084); conversion happens on device. Microbatched
     # via process_batch (24-frame scan) with drains every 3 batches — the
     # tunnel charges ~0.1-1 s per device sync, so sync sparingly.
+    import os
+    sync_every = int(os.environ.get("BENCH_SYNC_EVERY", "3"))
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     sys_ = SLAMSystem(cfg, ba_async=True, enable_place_recognition=False,
-                      sync_every=3)
+                      sync_every=sync_every)
     np_frames = [(np.asarray(g, np.float32).astype(np.uint8),
                   (np.asarray(d) * 1000.0).astype(np.uint16))
                  for g, d, _ in frames]
-    batch = 24
 
     def batch_at(i0):
         gs = np.stack([np_frames[(i0 + j) % len(np_frames)][0]
