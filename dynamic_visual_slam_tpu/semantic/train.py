@@ -308,8 +308,18 @@ def train(steps: int = 1500, batch: int = 16, input_size: int = 256,
                      optax.adamw(sched, weight_decay=1e-5))
     opt_state = tx.init(params)
 
+    # Pool lives ON DEVICE; batches are gathered by index inside the jitted
+    # step. Uploading a fresh 25 MB batch every step both wastes transport
+    # and leaks on tunneled backends (the client retained every staged
+    # batch: measured 126 GB host RSS by step ~5k → OOM kill). The whole
+    # pool is ~0.8 GB at the defaults — a sliver of HBM.
+    imgs_d = jnp.asarray(imgs)
+    boxes_d = jnp.asarray(boxes)
+    mask_d = jnp.asarray(mask)
+
     @jax.jit
-    def step_fn(params, opt_state, bi, bb, bm):
+    def step_fn(params, opt_state, idx, pi, pb, pm):
+        bi, bb, bm = pi[idx], pb[idx], pm[idx]
         (loss, aux), grads = jax.value_and_grad(
             detection_loss, has_aux=True)(params, bi, bb, bm, input_size)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -321,8 +331,7 @@ def train(steps: int = 1500, batch: int = 16, input_size: int = 256,
     for it in range(steps):
         idx = rng.integers(0, pool_images, batch)
         params, opt_state, loss, aux = step_fn(
-            params, opt_state, jnp.asarray(imgs[idx]),
-            jnp.asarray(boxes[idx]), jnp.asarray(mask[idx]))
+            params, opt_state, jnp.asarray(idx), imgs_d, boxes_d, mask_d)
         if it % log_every == 0 or it == steps - 1:
             lv = float(loss)
             history.append(lv)
@@ -377,6 +386,7 @@ def evaluate(params: Dict[str, Any], input_size: int = 256,
 def in_loop_eval(params: Dict[str, Any], n_frames: int = 180, seed: int = 0,
                  width: int = 320, height: int = 240,
                  conditions: Tuple[str, ...] = ("off", "gt", "learned"),
+                 semantic_overrides: Optional[Dict[str, Any]] = None,
                  verbose: bool = True) -> Dict[str, Dict[str, float]]:
     """Detector-in-the-loop efficacy: run the SAME dynamic walker sequence
     with culling OFF, with GT bboxes, and with the LEARNED detector, and
@@ -393,10 +403,15 @@ def in_loop_eval(params: Dict[str, Any], n_frames: int = 180, seed: int = 0,
     from dynamic_visual_slam_tpu.semantic.detector import (YoloDetector,
                                                            boxes_to_detections)
 
+    import dataclasses as _dc
+
     cam = CameraConfig(width=width, height=height,
                        fx=260.0 * width / 320.0, fy=260.0 * width / 320.0,
                        cx=(width - 1) / 2.0, cy=(height - 1) / 2.0)
     cfg = SLAMConfig().replace(camera=cam)
+    if semantic_overrides:
+        cfg = cfg.replace(semantic=_dc.replace(cfg.semantic,
+                                               **semantic_overrides))
     frames = list(synthetic.generate_dynamic_sequence(
         cam, n_frames, seed=seed, depth_noise=0.004))
     gt_t = np.stack([f[3] for f in frames])
