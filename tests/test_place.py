@@ -120,3 +120,21 @@ class TestPretrainedVocabulary:
         slam = SLAMSystem(SLAMConfig().replace(camera=cam), vocab_path=path)
         assert slam._bow_db is not None
         assert slam._bow_db.vocabulary.n_words == voc.n_words
+
+    def test_shipped_vocabulary_asset(self):
+        """The checked-in pretrained vocabulary (assets/orbvoc_synth.npz,
+        cli train-vocab output — the reference's installed ORBvoc.txt
+        equivalent) loads and discriminates: self-query wins with a clear
+        margin over a different descriptor set."""
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "assets", "orbvoc_synth.npz")
+        voc = bow.load_vocabulary(path)
+        assert voc.n_words >= 1000
+        rng = np.random.default_rng(3)
+        a, b = rand_descs(rng, 80), rand_descs(rng, 80)
+        db = bow.Database(voc, capacity=8)
+        ia, ib = db.add(jnp.asarray(a)), db.add(jnp.asarray(b))
+        res = db.query(jnp.asarray(perturb(a, rng, 0.02)), top_k=2)
+        assert int(res.entry_ids[0]) == ia
+        assert float(res.scores[0]) > float(res.scores[1]) + 0.1
