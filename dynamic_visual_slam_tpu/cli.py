@@ -34,9 +34,9 @@ def _build_config(args):
     cfg = SLAMConfig.preset(args.preset) if args.preset else SLAMConfig()
     if args.width and args.height:
         cfg = cfg.replace(camera=cfg.camera.scaled(args.width, args.height))
-    if getattr(args, "anchor", False):
+    if getattr(args, "anchor", None) is not None:
         cfg = cfg.replace(tracking=dc.replace(cfg.tracking,
-                                              anchor_to_keyframe=True))
+                                              anchor_to_keyframe=args.anchor))
     return cfg
 
 
@@ -476,11 +476,14 @@ def main(argv: Optional[list] = None) -> int:
     pr.add_argument("--no-reloc", action="store_true",
                     help="disable BoW relocalization after tracking loss "
                          "(the reference's freeze-pose behavior)")
-    pr.add_argument("--anchor", action="store_true",
+    pr.add_argument("--anchor", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="keyframe-anchored tracking: a second per-frame PnP "
                          "against the last keyframe's stored world points "
-                         "(drift compounds per keyframe, not per frame — "
-                         "cfg.tracking.anchor_to_keyframe)")
+                         "(drift compounds per keyframe, not per frame). ON "
+                         "by default (cfg.tracking.anchor_to_keyframe); "
+                         "--no-anchor selects the reference-faithful "
+                         "frame-to-frame chain")
     pr.add_argument("--vocab", default=None, metavar="NPZ",
                     help="pretrained BoW vocabulary (cli train-vocab output; "
                          "e.g. assets/orbvoc_synth.npz) — place recognition "
@@ -507,8 +510,10 @@ def main(argv: Optional[list] = None) -> int:
                          "report the ATE-ratio distribution")
     pp.add_argument("--width", type=int, default=424)
     pp.add_argument("--height", type=int, default=240)
-    pp.add_argument("--anchor", action="store_true",
-                    help="keyframe-anchored tracking on the TPU side")
+    pp.add_argument("--anchor", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="keyframe-anchored tracking on the TPU side "
+                         "(default: the shipped config default, ON)")
     pp.add_argument("--out-dir", default="parity_out")
     pp.set_defaults(fn=cmd_parity)
 

@@ -122,11 +122,14 @@ class TrackingConfig:
     the interval. The anchored pose replaces the frame-to-frame
     composition only when it has enough inliers and agrees with it within
     the jump gates (a wrong anchor match must not teleport the tracker).
-    Off by default: the reference composes frame-to-frame only
-    (frontend.cpp:947-948) and the shipped accuracy calibration is built
-    on that behavior."""
+    ON by default: it beats the frame-to-frame-only estimator (the
+    reference's formulation, frontend.cpp:947-948) 3-6x on mean ATE at
+    every measured configuration for ~zero per-frame cost, and every
+    robustness fixture (dynamic culling, loop efficacy, relocalization)
+    passes unchanged with it on (PARITY_RESULTS.md). Set False for the
+    reference-faithful frame-to-frame behavior."""
 
-    anchor_to_keyframe: bool = False
+    anchor_to_keyframe: bool = True
     anchor_min_inliers: int = 60
     anchor_max_jump_m: float = 0.3
     anchor_max_jump_rad: float = 0.15
