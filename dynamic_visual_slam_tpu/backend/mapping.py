@@ -30,6 +30,7 @@ from dynamic_visual_slam_tpu.config import SLAMConfig
 from dynamic_visual_slam_tpu.core import camera as cam
 from dynamic_visual_slam_tpu.core import lie
 from dynamic_visual_slam_tpu.core.camera import Intrinsics
+from dynamic_visual_slam_tpu.frontend import tracker as tracker_mod
 from dynamic_visual_slam_tpu.frontend.tracker import KeyframeBlock
 from dynamic_visual_slam_tpu.ops import hamming, linalg_small as ls
 
@@ -130,11 +131,7 @@ def init_map(cfg: SLAMConfig) -> MapState:
 def categorize(uv: jnp.ndarray, det: Detections) -> jnp.ndarray:
     """(C,2) pixels → (C,) category ids: first detection bbox containing the
     pixel wins; UNLABELED outside all boxes."""
-    inside = ((uv[:, None, 0] >= det.boxes[None, :, 0])
-              & (uv[:, None, 0] <= det.boxes[None, :, 2])
-              & (uv[:, None, 1] >= det.boxes[None, :, 1])
-              & (uv[:, None, 1] <= det.boxes[None, :, 3])
-              & det.mask[None, :])                      # (C, D)
+    inside = tracker_mod.points_in_boxes(uv, det.boxes, det.mask)  # (C, D)
     first = jnp.argmax(inside, axis=1)                  # first True (or 0)
     any_hit = jnp.any(inside, axis=1)
     return jnp.where(any_hit, det.category[first], UNLABELED)

@@ -122,22 +122,30 @@ def _select_keyframe_features(cfg: SLAMConfig, kps: Keypoints,
     return (fm_inlier_curr & kps.mask) | top_mask
 
 
+def points_in_boxes(uv: jnp.ndarray, boxes: jnp.ndarray,
+                    box_mask: jnp.ndarray) -> jnp.ndarray:
+    """(K,2) pixels × (D,4) xyxy boxes (+ (D,) validity) → (K,D) containment.
+    The single point-in-detection-bbox predicate shared by frontend culling
+    and backend categorization (backend.cpp:1011-1029) — edge-inclusive on
+    all four box edges."""
+    return ((uv[:, None, 0] >= boxes[None, :, 0])
+            & (uv[:, None, 0] <= boxes[None, :, 2])
+            & (uv[:, None, 1] >= boxes[None, :, 1])
+            & (uv[:, None, 1] <= boxes[None, :, 3])
+            & box_mask[None, :])
+
+
 def _in_filtered_box(uv: jnp.ndarray, det, filtered: jnp.ndarray
                      ) -> jnp.ndarray:
     """(K,2) pixels → (K,) True where the pixel falls inside a detection
     bbox whose class is semantically filtered (person by default)."""
     drop_box = det.mask & filtered[det.category]            # (D,)
-    inside = ((uv[:, None, 0] >= det.boxes[None, :, 0])
-              & (uv[:, None, 0] <= det.boxes[None, :, 2])
-              & (uv[:, None, 1] >= det.boxes[None, :, 1])
-              & (uv[:, None, 1] <= det.boxes[None, :, 3])
-              & drop_box[None, :])
-    return jnp.any(inside, axis=1)
+    return jnp.any(points_in_boxes(uv, det.boxes, drop_box), axis=1)
 
 
 def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
                depth_m: jnp.ndarray, timestamp: jnp.ndarray,
-               det=None, filtered=None
+               det=None, filtered=None, kps=None
                ) -> Tuple[TrackerState, TrackOutput]:
     """One frame.
 
@@ -154,6 +162,12 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     only in the backend (backend.cpp:746-751) and leaves its frontend
     odometry exposed to dynamics (docs/PARITY.md) — possible here because
     detections are frame-synced in-process rather than a separate ROS node.
+
+    kps (optional): precomputed Keypoints for this frame, skipping the
+    in-step ORB extraction. The fleet path uses this to run the Pallas
+    extraction kernels under lax.map over streams (they are grid programs
+    that do not batch under vmap on TPU) while vmapping the rest of the
+    step (parallel/mesh.py).
     """
     if gray.dtype != jnp.float32:
         gray = gray.astype(jnp.float32)
@@ -165,7 +179,8 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     rng, k_fm, k_pnp, k_anc = jax.random.split(state.rng, 4)
 
     # --- extraction + depth filter (frontend.cpp:1094-1100,503-527) ---------
-    kps = extract(gray, cfg.orb)
+    if kps is None:
+        kps = extract(gray, cfg.orb)
     z = _depth_at(depth_m, kps.uv)
     depth_ok = (z > cfg.depth.min_depth) & (z < cfg.depth.max_depth)
     kps = kps._replace(mask=kps.mask & depth_ok)

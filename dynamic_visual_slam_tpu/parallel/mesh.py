@@ -75,14 +75,37 @@ class SLAMFleet:
         from dynamic_visual_slam_tpu.semantic.classes import filtered_mask
         filt = filtered_mask(cfg)
 
-        def one_step(tstate, mstate, gray, depth, ts, det):
+        def one_step(tstate, mstate, gray, depth, ts, det, kps):
             tstate, out = tracker.track_step(cfg, tstate, gray, depth, ts,
-                                             det=det, filtered=filt)
+                                             det=det, filtered=filt, kps=kps)
             mstate2, _ = mapping.insert_keyframe(cfg, mstate, out.keyframe,
                                                  det, filt)
             mstate = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(out.is_keyframe, b, a), mstate, mstate2)
             return tstate, mstate, out
+
+        from dynamic_visual_slam_tpu.frontend import orb
+        from dynamic_visual_slam_tpu.ops import descriptors as desc_k
+
+        def extract_one(gray):
+            g = gray.astype(jnp.float32) if gray.dtype != jnp.float32 \
+                else gray
+            return orb.extract(g, cfg.orb)
+
+        if desc_k.use_pallas():
+            # TPU: the Pallas extraction kernels (double-buffered score-atlas
+            # DMA + per-keypoint descriptor DMA) are grid programs that do
+            # not batch under vmap — run them under lax.map over streams
+            # (scan-of-pallas is exactly how the solo microbatch path runs
+            # them) and vmap only the rest of the step. On a multi-chip
+            # mesh, wrap in shard_map so the scan covers only the shard's
+            # local streams; on the one-chip serving shape this serializes
+            # ~0.3 ms/stream of extraction against a fully-batched
+            # remainder.
+            def extract_streams(grays):
+                return jax.lax.map(extract_one, grays)
+        else:
+            extract_streams = jax.vmap(extract_one)
 
         def one_ba(mstate, now):
             new_state, res = ba_mod.run_ba(cfg, k, mstate)
@@ -90,9 +113,40 @@ class SLAMFleet:
                 landmarks=mapping.prune(cfg, new_state.landmarks, now))
             return new_state, res.final_cost
 
-        self._step = jax.jit(jax.vmap(one_step), donate_argnums=(0, 1))
+        one_step_v = jax.vmap(one_step)
+
+        def fleet_step(tstates, mstates, grays, depths, stamps, dets):
+            kps = extract_streams(grays)
+            return one_step_v(tstates, mstates, grays, depths, stamps,
+                              dets, kps)
+
+        self._step = jax.jit(fleet_step, donate_argnums=(0, 1))
         self._ba = jax.jit(jax.vmap(one_ba, in_axes=(0, None)),
                            donate_argnums=(0,))
+
+        def batch_step(tstates, mstates, grays, depths, stamps, dets):
+            """Scan T frames through all B streams in ONE dispatch — the
+            fleet analogue of SLAMSystem.process_batch (pipeline/slam.py):
+            per-dispatch RPC/launch overhead amortizes over T×B frames.
+            Returns (T, B, 10) packed telemetry
+            [q_wc(4), t_wc(3), tracking_ok, is_keyframe, n_inliers]."""
+            def body(carry, x):
+                ts_, ms_ = carry
+                g, d, s, de = x
+                kps = extract_streams(g)
+                ts_, ms_, out = one_step_v(ts_, ms_, g, d, s, de, kps)
+                telem = jnp.concatenate([
+                    out.q_wc, out.t_wc,
+                    jnp.stack([out.tracking_ok.astype(jnp.float32),
+                               out.is_keyframe.astype(jnp.float32),
+                               out.n_inliers.astype(jnp.float32)], axis=-1)],
+                    axis=-1)
+                return (ts_, ms_), telem
+            (tstates, mstates), telems = jax.lax.scan(
+                body, (tstates, mstates), (grays, depths, stamps, dets))
+            return tstates, mstates, telems
+
+        self._batch_step = jax.jit(batch_step, donate_argnums=(0, 1))
 
         self.tracker_states = shard_batch(jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
@@ -140,6 +194,41 @@ class SLAMFleet:
                 self._last_ba_t = now
                 self.run_ba(now)
         return out
+
+    def step_batch(self, grays: jnp.ndarray, depths: jnp.ndarray,
+                   stamps: jnp.ndarray,
+                   detections: Optional[mapping.Detections] = None,
+                   auto_ba: bool = True) -> jnp.ndarray:
+        """(T,B,H,W) grays/depths + (T,B) stamps (+ optional Detections with
+        leading dims (T,B)) → (T,B,10) packed telemetry, in ONE dispatch —
+        the fleet throughput mode. BA cadence is evaluated once per batch
+        (granularity = batch length of input time), like the solo
+        process_batch's per-batch _ba_tick."""
+        now = float(np.max(np.asarray(stamps)))
+        t_dim, b_dim = np.asarray(stamps).shape
+        if detections is None:
+            det1 = mapping.Detections.empty(self.cfg.semantic.max_detections)
+            detections = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (t_dim, b_dim) + x.shape),
+                det1)
+
+        def place(x):
+            # (T, B, ...): time unsharded, streams over 'dp'
+            spec = P(None, "dp", *([None] * (x.ndim - 2)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+        grays, depths, stamps, detections = (
+            jax.tree_util.tree_map(place, x)
+            for x in (grays, depths, stamps, detections))
+        self.tracker_states, self.map_states, telems = self._batch_step(
+            self.tracker_states, self.map_states, grays, depths, stamps,
+            detections)
+        if auto_ba:
+            if self._last_ba_t is None:
+                self._last_ba_t = now
+            elif now - self._last_ba_t >= self.cfg.ba.period_s:
+                self._last_ba_t = now
+                self.run_ba(now)
+        return telems
 
     def stats(self) -> dict:
         """Per-stream observability (ONE device_get): keyframe counts,

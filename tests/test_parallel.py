@@ -104,6 +104,43 @@ class TestFleet:
             (lm_fleet, lm_solo)
 
     @pytest.mark.slow
+    def test_step_batch_matches_per_frame_step(self):
+        """The scanned fleet throughput mode (step_batch: T frames × B
+        streams in one dispatch) is the same program as T per-frame step()
+        calls: identical telemetry poses on the same inputs/RNG, and the
+        states keep their dp sharding."""
+        n, b = 6, 2
+        seq_a = list(synthetic.generate_sequence(CAM, n, seed=3))
+        seq_b = list(synthetic.generate_sequence(CAM, n, seed=7))
+        grays = jnp.stack([jnp.stack([jnp.asarray(seq_a[i][0]),
+                                      jnp.asarray(seq_b[i][0])])
+                           for i in range(n)])
+        depths = jnp.stack([jnp.stack([jnp.asarray(seq_a[i][1]),
+                                       jnp.asarray(seq_b[i][1])])
+                            for i in range(n)])
+        stamps = jnp.asarray([[seq_a[i][4], seq_b[i][4]] for i in range(n)],
+                             jnp.float32)
+        m = pmesh.make_mesh(2)
+        f1 = pmesh.SLAMFleet(CFG, batch=b, mesh=m)
+        telems = f1.step_batch(grays, depths, stamps, auto_ba=False)
+        assert telems.shape == (n, b, 10)
+        f2 = pmesh.SLAMFleet(CFG, batch=b, mesh=m)
+        rows = []
+        for i in range(n):
+            out = f2.step(grays[i], depths[i], stamps[i], auto_ba=False)
+            rows.append(np.concatenate(
+                [np.asarray(out.q_wc), np.asarray(out.t_wc)], axis=-1))
+        want = np.stack(rows)
+        got = np.asarray(telems)[:, :, :7]
+        # same jitted one_step body, but scan vs eager dispatch may change
+        # f32 fusion decisions — assert to estimator precision like the
+        # fleet-vs-solo test, with early frames near-bitwise
+        np.testing.assert_allclose(got[:2], want[:2], atol=1e-5)
+        assert np.abs(got[:, :, 4:7] - want[:, :, 4:7]).max() < 2e-2
+        assert int(np.asarray(f1.map_states.keyframes.count).min()) >= 1
+        assert len(f1.tracker_states.t_wc.sharding.device_set) == 2
+
+    @pytest.mark.slow
     def test_fleet_semantic_detector_in_loop(self):
         """Sharded YOLO detections feed the fleet mapping stage
         (VERDICT r1 weak #7: no more hardcoded empty detections)."""
