@@ -285,7 +285,16 @@ def optimize(k: Intrinsics, problem: BAProblem, cfg: BAConfig) -> BAResult:
                  jnp.asarray(cfg.init_lambda, jnp.float32),
                  jnp.asarray(False), jnp.asarray(False),
                  jnp.asarray(0, jnp.int32))
-    final, _ = jax.lax.scan(lm_iter, init, None, length=cfg.max_iterations)
+    # while_loop, not scan: once `done` latches, every further iteration is
+    # a masked no-op, so exiting early returns the identical carry while
+    # cutting solve latency to the iterations actually used (typical
+    # convergence is 5-15 of the 20 allowed, README.md:241) — the solve is
+    # iteration-sequencing-bound on TPU (docs/PERF.md), so latency scales
+    # ~linearly with executed iterations.
+    final = jax.lax.while_loop(
+        lambda c: jnp.logical_not(c.done) & (c.iters < cfg.max_iterations),
+        lambda c: lm_iter(c, None)[0],
+        init)
 
     q_wc, t_wc = lie.se3_inverse(final.q_cw, final.t_cw)
     return BAResult(q_wc=q_wc, t_wc=t_wc, xyz=final.xyz,
