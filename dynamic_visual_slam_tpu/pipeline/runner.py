@@ -172,6 +172,7 @@ class ThreadedPipeline:
             t.start()
 
         n_processed = 0
+        n_no_det = 0
         while True:
             item = q_frames.pop(timeout=self.pop_timeout)
             if item is None:
@@ -186,24 +187,41 @@ class ThreadedPipeline:
                     with det_lock:
                         det = det_results.pop(det_key, None) \
                             if det_key is not None else None
+                    n_no_det += det is None
                     self.system.process(ga, da, stamp, detections=det)
                     n_processed += 1
             else:
                 self.system.process(g8, d16, ts)
                 n_processed += 1
 
+        n_no_det = 0
         if self.detector:
             # Drain, don't drop: the detector thread exits on its own once
             # io_done is set and its queue is empty, so joining it first
             # guarantees every in-flight detection lands in det_results
-            # before the final flush; poll(flush=True) then emits any tail
-            # A-entries the timeout gate would otherwise strand.
-            threads[1].join(timeout=30.0)
+            # before the final flush. A fixed join timeout would stop a
+            # slow-but-working detector mid-backlog and silently emit the
+            # tail without semantic culling — so wait as long as the
+            # detector makes progress on its queue, and give up only when
+            # it is genuinely wedged (no progress for 30 s).
+            last_len = len(q_det_in)
+            deadline = time.monotonic() + 30.0
+            while threads[1].is_alive():
+                threads[1].join(timeout=2.0)
+                if not threads[1].is_alive():
+                    break
+                cur = len(q_det_in)
+                if cur < last_len:
+                    last_len = cur
+                    deadline = time.monotonic() + 30.0
+                elif time.monotonic() > deadline:
+                    break
             det_done.set()
             for stamp, (ga, da), det_key in sync.poll(flush=True):
                 with det_lock:
                     det = det_results.pop(det_key, None) \
                         if det_key is not None else None
+                n_no_det += det is None
                 self.system.process(ga, da, stamp, detections=det)
                 n_processed += 1
         self.system.finalize()
@@ -215,5 +233,6 @@ class ThreadedPipeline:
             wall_s=round(wall, 3),
             fps=round(n_processed / max(wall, 1e-9), 2),
             queue_dropped=getattr(q_frames, "dropped", 0),
+            frames_without_detections=n_no_det if self.detector else 0,
             native_queue=type(q_frames).__name__ == "NativeQueue")
         return self.stats

@@ -444,7 +444,13 @@ class SLAMSystem:
         if (ts_rel - self._last_ba_t >= self.config.ba.period_s
                 and (self._n_kf_host >= 2 or self.stats["frames"] >= 2)):
             self._last_ba_t = ts_rel
-            if self.ba_feedback:
+            # BA feedback left-composes a correction onto the live tracker
+            # pose; a relocalization in flight froze that pose at dispatch
+            # (T_corr = T_pnp ∘ T_frozen⁻¹), so mutating it between dispatch
+            # and harvest would bake the feedback into the re-anchored pose
+            # as error. Skip feedback for this round only — the map-side BA
+            # write-back still happens.
+            if self.ba_feedback and self._pending_reloc is None:
                 self.map_state, self.tracker_state, res = self._run_ba_fb(
                     self.map_state, self.tracker_state)
             else:
@@ -712,6 +718,17 @@ class SLAMSystem:
                     rec["applied"] = True
                     self.stats["loops_applied"] = \
                         self.stats.get("loops_applied", 0) + 1
+                    # a loop correction just moved the live tracker pose; a
+                    # relocalization in flight froze the pre-correction pose
+                    # at dispatch, so its T_pnp ∘ T_frozen⁻¹ math is now
+                    # stale — drop it (it re-dispatches on the next lost
+                    # frame, the streak persists until tracking recovers)
+                    if self._pending_reloc is not None:
+                        _, _, _, rrec = self._pending_reloc
+                        rrec["applied"] = False
+                        rrec["invalidated_by_loop"] = True
+                        self.reloc_log.append(rrec)
+                        self._pending_reloc = None
         self._pending_loops = []
 
     def finalize(self) -> None:

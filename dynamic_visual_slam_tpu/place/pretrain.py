@@ -90,21 +90,25 @@ def train_pretrained_vocabulary(out_path: str, k: int = 10, depth: int = 3,
     voc2 = bow.load_vocabulary(out_path if out_path.endswith(".npz")
                                else out_path + ".npz")
     db = bow.Database(voc2, capacity=64)
-    frames = np.unique(doc_ids)
     # one DB entry per scene (its first frame), one query per scene (its
-    # last frame)
+    # last frame). Doc ids ARE global frame indices (build_descriptor_corpus
+    # increments `doc` unconditionally), so index scenes directly — a frame
+    # that produced zero descriptors simply has no rows, it must not shift
+    # every later scene's index the way np.unique(doc_ids) would.
     fps = frames_per_scene
     correct = 0
     for s in range(n_scenes):
-        first = frames[s * fps]
-        db.add(jnp.asarray(descs[doc_ids == first]))
+        d_first = descs[doc_ids == s * fps]
+        db.add(jnp.asarray(d_first if len(d_first) else descs[:1]))
     for s in range(n_scenes):
-        last = frames[s * fps + fps - 1]
-        res = db.query(jnp.asarray(descs[doc_ids == last]), top_k=1)
+        d_last = descs[doc_ids == s * fps + fps - 1]
+        if not len(d_last):
+            continue          # degenerate frame: counts as a retrieval miss
+        res = db.query(jnp.asarray(d_last), top_k=1)
         if bool(res.valid[0]) and int(res.entry_ids[0]) == s:
             correct += 1
     report = dict(path=out_path, n_descriptors=int(len(descs)),
-                  n_documents=int(len(frames)), k=k, depth=depth,
+                  n_documents=int(np.unique(doc_ids).size), k=k, depth=depth,
                   n_words=int(voc.n_words),
                   scene_retrieval_accuracy=round(correct / n_scenes, 4))
     if verbose:

@@ -42,11 +42,12 @@ class YoloDetector:
             self.params = yolov8.init_params(jax.random.key(seed))
         # weights trained by semantic/train.py embed their native input
         # size; honor it over the config default (a 256-trained net fed
-        # 640-px letterboxes is out-of-distribution)
-        isz = self.params.pop("input_size", None) \
-            if isinstance(self.params, dict) else None
-        if isz is not None:
-            self.size = int(np.asarray(isz, np.float32))
+        # 640-px letterboxes is out-of-distribution). Read without mutating:
+        # the caller may still own this dict (and save_params it later).
+        if isinstance(self.params, dict) and "input_size" in self.params:
+            self.size = int(np.asarray(self.params["input_size"], np.float32))
+            self.params = {k: v for k, v in self.params.items()
+                           if k != "input_size"}
         s = self.size
         d = cfg.semantic.max_detections
         self._detect = jax.jit(lambda p, img: yolov8.detect(
