@@ -27,10 +27,17 @@ Three throughput figures are reported:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA executable cache: the bench compiles ~10 sizeable programs
+# (batched extraction alone is ~60 s); caching them makes reruns start in
+# seconds instead of ~10 min and keeps total runtime inside driver timeouts
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 REFERENCE_FPS = 30.0
 

@@ -28,6 +28,23 @@ def masked_topk(scores: jnp.ndarray, mask: jnp.ndarray, k: int):
     return idx, vals > NEG_INF / 2
 
 
+def stable_partition(mask: jnp.ndarray) -> jnp.ndarray:
+    """(N,) bool → (N,) int32 permutation putting valid rows first, stable.
+
+    Identical to ``jnp.argsort(jnp.where(mask, 0, 1), stable=True)`` but via
+    two prefix sums + one scatter instead of a sort: on TPU a stable 1024-row
+    sort lowers to a ~0.5 ms sequential while loop, and the tracking step
+    latency is kernel-sequencing-bound (docs/PERF.md) — three of these sat on
+    the per-frame critical path before this helper existed."""
+    n = mask.shape[0]
+    pos_valid = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    pos_invalid = n_valid + jnp.cumsum((~mask).astype(jnp.int32)) - 1
+    pos = jnp.where(mask, pos_valid, pos_invalid)      # target slot of row i
+    return jnp.zeros(n, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+
 def compress_to_capacity(values, mask: jnp.ndarray, capacity: int, fill=0):
     """Stable-compact valid rows to the front, padded/truncated to capacity.
 
@@ -35,7 +52,7 @@ def compress_to_capacity(values, mask: jnp.ndarray, capacity: int, fill=0):
     Returns (pytree with leading dim `capacity`, newmask (capacity,)).
     """
     n = mask.shape[0]
-    order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)  # valid first, stable
+    order = stable_partition(mask)                     # valid first, stable
     count = jnp.sum(mask.astype(jnp.int32))
     if capacity <= n:
         sel = order[:capacity]

@@ -378,3 +378,100 @@ def extract(img: jnp.ndarray, cfg: ORBConfig) -> Keypoints:
                      desc_bits=bits,
                      desc_packed=hamming.pack_bits(bits),
                      mask=mask)
+
+
+def extract_batch(imgs: jnp.ndarray, cfg: ORBConfig) -> Keypoints:
+    """(B, H, W) grayscale stack → Keypoints with leading dim B.
+
+    Produces the same keypoints/descriptors as running extract() on each
+    frame, but batches the two Pallas stages across ALL frames: one FAST
+    score-atlas call over B×n_levels pyramid levels and one descriptor/
+    moments call over B×max_keypoints patches.  Extraction is state-free,
+    so the microbatched pipeline (pipeline/slam.process_batch) and the
+    fleet (parallel/mesh.py) hoist it OUT of their sequential per-frame
+    scan — grid-step sequencing amortizes over the whole batch instead of
+    sitting on every frame's latency critical path (docs/PERF.md: extract
+    was ~3.4 ms of the ~10.8 ms serialized step, yet only ~0.2 ms/frame of
+    throughput).
+
+    Atlases are level-major ((B, Hp_l, wp) stacks reshaped to contiguous
+    rows — no dynamic_update_slice chains); each level block keeps its own
+    reflect pad, and rotated-BRIEF one-hot sampling never selects rows
+    outside the keypoint's own padded level block, so values are
+    bit-identical to the per-frame path (scripts/check_batch_extract_tpu.py
+    asserts this on the chip; tests/test_orb.py on the CPU fallback).
+    """
+    from dynamic_visual_slam_tpu.ops import descriptors as desc_k
+    from dynamic_visual_slam_tpu.ops.fields import fast_score_atlas_batch
+
+    if imgs.dtype != jnp.float32:
+        imgs = imgs.astype(jnp.float32)
+    if not desc_k.use_pallas():
+        # the XLA fallback path is plain vmappable ops
+        return jax.vmap(lambda im: extract(im, cfg))(imgs)
+
+    b = imgs.shape[0]
+    quotas = features_per_level(cfg)
+    levels_b = jax.vmap(
+        lambda im: imops.build_pyramid(im, cfg.n_levels, cfg.scale_factor)
+    )(imgs)                                    # tuple of (B, H_l, W_l)
+    scores_b = fast_score_atlas_batch(list(levels_b))
+
+    max_w = levels_b[0].shape[2] + 2 * SAMPLE_PAD
+    parts, blur_blocks, raw_blocks = [], [], []
+    row = 0
+    for lvl, (lv, score, quota) in enumerate(zip(levels_b, scores_b, quotas)):
+        ys, xs, resp = jax.vmap(
+            lambda s: detect_level(s, quota, float(cfg.ini_th_fast),
+                                   float(cfg.min_th_fast)))(score)
+        blur = jax.vmap(lambda im: imops.reflect_pad(
+            jnp.clip(jnp.round(imops.gaussian_blur(im, 7, 2.0)), 0.0, 255.0),
+            SAMPLE_PAD))(lv)
+        raw = jax.vmap(lambda im: imops.reflect_pad(im, SAMPLE_PAD))(lv)
+        _, hp, wl = blur.shape
+        blur_blocks.append(
+            jnp.pad(blur, ((0, 0), (0, 0), (0, max_w - wl))
+                    ).reshape(b * hp, max_w))
+        raw_blocks.append(
+            jnp.pad(raw, ((0, 0), (0, 0), (0, max_w - wl))
+                    ).reshape(b * hp, max_w))
+        scale = cfg.scale_factor ** lvl
+        uv = jnp.stack([xs.astype(jnp.float32),
+                        ys.astype(jnp.float32)], -1) * scale
+        frame_off = row + jnp.arange(b, dtype=jnp.int32)[:, None] * hp
+        parts.append(dict(
+            uv=uv, response=resp, ys=ys, xs=xs,
+            row_off=jnp.broadcast_to(frame_off, ys.shape),
+            octave=jnp.full_like(ys, lvl), mask=resp > 0))
+        row += b * hp
+    blur_atlas = jnp.concatenate(blur_blocks, axis=0)
+    raw_atlas = jnp.concatenate(raw_blocks, axis=0)
+
+    cat = {k: jnp.concatenate([p[k] for p in parts], axis=1)
+           for k in parts[0]}                  # (B, n, ...)
+    k_cap = cfg.max_keypoints
+    n = cat["mask"].shape[1]
+    if n < k_cap:
+        pad = k_cap - n
+        cat = {k: jnp.concatenate(
+            [v, jnp.zeros((b, pad) + v.shape[2:], v.dtype)], axis=1)
+            for k, v in cat.items()}
+    elif n > k_cap:
+        _, keep_idx = jax.lax.top_k(
+            jnp.where(cat["mask"], cat["response"], -1.0), k_cap)  # (B, k_cap)
+        cat = {k: (jnp.take_along_axis(v, keep_idx, axis=1) if v.ndim == 2
+                   else jnp.take_along_axis(v, keep_idx[..., None], axis=1))
+               for k, v in cat.items()}
+
+    atlas_ys = (cat["ys"] + cat["row_off"]).reshape(-1)
+    bits, m10k, m01k = desc_k.descriptors_moments_pallas(
+        blur_atlas, raw_atlas, atlas_ys, cat["xs"].reshape(-1),
+        brief_pattern(), SAMPLE_PAD)
+    bits = bits.reshape(b, k_cap, 256)
+    return Keypoints(
+        uv=cat["uv"], response=cat["response"],
+        angle=jnp.arctan2(m01k, m10k).reshape(b, k_cap),
+        octave=cat["octave"].astype(jnp.int32), desc_bits=bits,
+        desc_packed=hamming.pack_bits(bits.reshape(-1, 256)
+                                      ).reshape(b, k_cap, 32),
+        mask=cat["mask"])

@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dynamic_visual_slam_tpu.core import lie
+from dynamic_visual_slam_tpu.core import containers, lie
 from dynamic_visual_slam_tpu.core.camera import Intrinsics
 from dynamic_visual_slam_tpu.ops import linalg_small as ls
 
@@ -119,7 +119,10 @@ def fundamental_ransac(p1: jnp.ndarray, p2: jnp.ndarray, mask: jnp.ndarray,
     k_cap = p1.shape[0]
     count = jnp.sum(mask.astype(jnp.int32))
     # compact valid matches to the front so sampling hits only valid rows
-    order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)
+    # (prefix-sum partition, not argsort: a stable 1024-sort is a ~0.5 ms
+    # sequential while loop on TPU and this sits on the per-frame latency
+    # critical path)
+    order = containers.stable_partition(mask)
     cp1, cp2 = p1[order], p2[order]
 
     samples = _sample_indices(key, n_hyp, 8, count)      # (N,8)
@@ -229,8 +232,14 @@ def _gauss_newton_refine(k: Intrinsics, q0, t0, xyz, uv, w, iters: int):
         t_new = lie.quat_rotate(dq, t) + dx[3:]
         return (q_new, t_new), None
 
-    (q, t), _ = jax.lax.scan(step, (q0, t0), None, length=iters)
-    return q, t
+    # unrolled, not lax.scan: the body is ~10 tiny fused kernels and the
+    # step is latency-bound, so per-iteration while-loop sequencing overhead
+    # dominated the actual GN math; unrolling lets XLA fuse across
+    # iterations into one dispatch chain (same floats, fewer kernels)
+    carry = (q0, t0)
+    for _ in range(iters):
+        carry, _ = step(carry, None)
+    return carry
 
 
 def pnp_ransac(k: Intrinsics, xyz: jnp.ndarray, uv: jnp.ndarray,
@@ -254,7 +263,7 @@ def pnp_ransac(k: Intrinsics, xyz: jnp.ndarray, uv: jnp.ndarray,
     never degrades the inlier score of the selected hypothesis.
     """
     count = jnp.sum(mask.astype(jnp.int32))
-    order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)
+    order = containers.stable_partition(mask)   # see fundamental_ransac note
     cxyz, cuv = xyz[order], uv[order]
 
     xn = jnp.stack([(uv[:, 0] - k.cx) / k.fx, (uv[:, 1] - k.cy) / k.fy], -1)

@@ -169,7 +169,7 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     that do not batch under vmap on TPU) while vmapping the rest of the
     step (parallel/mesh.py).
     """
-    if gray.dtype != jnp.float32:
+    if kps is None and gray.dtype != jnp.float32:
         gray = gray.astype(jnp.float32)
     if depth_m.dtype == jnp.uint16:
         depth_m = depth_m.astype(jnp.float32) * 1e-3

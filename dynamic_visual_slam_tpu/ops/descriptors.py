@@ -29,7 +29,13 @@ import numpy as np
 PH, PW = 56, 256      # patch tile (rows ≥ 8+reach·2+8, lanes ≥ 128+reach·2)
 CY = 24               # nominal in-patch keypoint row before alignment shift
 CX = 64
-KPB = 8               # keypoints per grid step
+KPB = 16              # keypoints per grid step: the per-grid-step fixed cost
+#                       (DMA issue/wait + sequencing) dominated the tiny
+#                       per-keypoint compute at 8 — 128 sequential steps was
+#                       ~1.5 ms of latency on the tracking step's critical
+#                       path; 16 halves the step count for ~11 MB of
+#                       double-buffered scratch (blur bf16 + raw f32,
+#                       ~16 MB/core VMEM budget)
 PAD_T, PAD_L = 32, 128   # generous margins so origins never clip
 REACH = 20            # max |rotated offset| + rounding (13·√2 ≈ 18.4 → 20)
 # patch bounds: in-patch keypoint row ∈ [CY, CY+7], col ∈ [CX, CX+127]
@@ -201,8 +207,14 @@ def _kernel_with_moments(umax_list, n_grid):
             col = jnp.round(px * a - py * b).astype(jnp.int32) + ox_ref[k]
             row = jnp.round(px * b + py * a).astype(jnp.int32) + oy_ref[k]
             riota = jax.lax.broadcasted_iota(jnp.int32, (512, PH), 1)
+            # blurred patches live in bf16 scratch: the blur output is
+            # rounded to integers <= 255 (orb.extract), which bf16
+            # represents exactly, so the one-hot sample and the < compare
+            # are BIT-EXACT while the patch DMA/VMEM cost halves.  The
+            # matmul upcasts to f32 (Mosaic rejects a bf16 lhs here) —
+            # the convert is VPU-cheap, the DMA saving is what matters.
             rsel = (riota == row[:, None]).astype(jnp.float32)
-            y = jnp.dot(rsel, patches[slot, j],
+            y = jnp.dot(rsel, patches[slot, j].astype(jnp.float32),
                         preferred_element_type=jnp.float32)
             ciota = jax.lax.broadcasted_iota(jnp.int32, (512, PW), 1)
             csel = (ciota == col[:, None]).astype(jnp.float32)
@@ -233,7 +245,10 @@ def descriptors_moments_pallas(img_blur_padded: jnp.ndarray,
 
     k = ys.shape[0]
     assert k % KPB == 0, k
-    img = _pad_image(img_blur_padded)
+    # blur atlas DMAs as bf16 (integer-valued <= 255 after orb.extract's
+    # round+clip — exact); the RAW atlas stays f32: resized pyramid levels
+    # are fractional and the IC moments must match the XLA fallback bitwise
+    img = _pad_image(img_blur_padded).astype(jnp.bfloat16)
     raw = _pad_image(img_raw_padded)
     pat = jnp.asarray(pattern)
     pxy = jnp.stack([jnp.concatenate([pat[:, 0], pat[:, 2]]),
@@ -255,7 +270,7 @@ def descriptors_moments_pallas(img_blur_padded: jnp.ndarray,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((KPB, 128), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((2, KPB, PH, PW), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, KPB, PH, PW), jnp.bfloat16),
                         pltpu.VMEM((2, KPB, PH, PW), jnp.float32),
                         pltpu.SemaphoreType.DMA((2, KPB)),
                         pltpu.SemaphoreType.DMA((2, KPB))])

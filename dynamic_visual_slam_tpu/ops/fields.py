@@ -58,10 +58,14 @@ def fast_score_atlas(levels, tile_rows: int = 32):
     i+1 copies into the other scratch slot while tile i computes — the
     serial start/wait version was latency-bound) and scores each via the
     shared ops/fast._score_block body.  Returns a list of (H_l, W_l) score
-    maps."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    maps.
 
+    tile_rows=32 is the VMEM ceiling: the 16-arc score body's live
+    temporaries scale with the tile area and Mosaic's scoped-VMEM stack
+    overflows the 16 MB/core budget at tile_rows=40 already (measured:
+    32 compiles + is cv2-bit-exact, 40/48/56/64/128 all OOM), so the
+    ~105-grid-step sequencing cost of the 720p 8-level atlas cannot be
+    bought down by fatter tiles without restructuring the score body."""
     w0 = levels[0].shape[1]
     wp = -(-(w0 + 2 * HALO) // 128) * 128
     offs = []
@@ -77,6 +81,59 @@ def fast_score_atlas(levels, tile_rows: int = 32):
     atlas = jnp.zeros((total_rows, wp), jnp.float32)
     for off, p in zip(offs, padded_levels):
         atlas = jax.lax.dynamic_update_slice(atlas, p, (off, 0))
+
+    score = _score_atlas_rows(atlas, n_tiles, tile_rows, wp)
+    return [score[off:off + img_l.shape[0], :img_l.shape[1]]
+            for off, img_l in zip(offs, levels)]
+
+
+def fast_score_atlas_batch(levels_b, tile_rows: int = 32):
+    """Batched fast_score_atlas: FAST-9 scores for B frames' full pyramids
+    in ONE Pallas call.
+
+    levels_b is a list (per pyramid level) of (B, H_l, W_l) stacks.  The
+    atlas is laid out LEVEL-MAJOR (all B frames of level 0, then level 1,
+    …): each level stack is vmap-reflect-padded, rounded up to 8 rows, and
+    reshaped (B, Hp_l, wp) → (B·Hp_l, wp) — no per-frame Python loop, no
+    dynamic_update_slice chain.  Scores are bit-identical to per-frame
+    fast_score_atlas: the 16-arc body reads a 3-px halo and every level
+    block carries its own 16-row reflect pad, so neighboring frames in the
+    atlas never influence extracted rows.  Returns a list (per level) of
+    (B, H_l, W_l) score stacks."""
+    b = levels_b[0].shape[0]
+    w0 = levels_b[0].shape[2]
+    wp = -(-(w0 + 2 * HALO) // 128) * 128
+    blocks, meta = [], []
+    row = 0
+    for lv in levels_b:
+        p = jax.vmap(lambda im: jnp.pad(im.astype(jnp.float32), HALO,
+                                        mode="reflect"))(lv)
+        hp = -(-p.shape[1] // 8) * 8
+        p = jnp.pad(p, ((0, 0), (0, hp - p.shape[1]), (0, wp - p.shape[2])))
+        blocks.append(p.reshape(b * hp, wp))
+        meta.append((row, hp, lv.shape[1], lv.shape[2]))
+        row += b * hp
+    # score full `row` rows (not row-2·HALO as in the per-frame variant):
+    # the per-level (B, hp, w) reshape below needs every block's padding
+    # rows present in the score array, including the last frame's
+    n_tiles = -(-row // tile_rows)
+    total_rows = n_tiles * tile_rows + 2 * HALO
+    blocks.append(jnp.zeros((total_rows - row, wp), jnp.float32))
+    atlas = jnp.concatenate(blocks, axis=0)
+
+    score = _score_atlas_rows(atlas, n_tiles, tile_rows, wp)
+    w = wp - 2 * HALO
+    return [score[off:off + b * hp].reshape(b, hp, w)[:, :h_l, :w_l]
+            for off, hp, h_l, w_l in meta]
+
+
+def _score_atlas_rows(atlas: jnp.ndarray, n_tiles: int, tile_rows: int,
+                      wp: int) -> jnp.ndarray:
+    """Shared Pallas dispatch: tile the (rows, wp) atlas into tile_rows-row
+    stripes, double-buffer the DMA, score each stripe via ops/fast's
+    16-arc body.  Score row r corresponds to atlas row r + HALO."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     w = wp - 2 * HALO
     rows = tile_rows + 2 * HALO
@@ -109,7 +166,7 @@ def fast_score_atlas(levels, tile_rows: int = 32):
     out_shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, w), jnp.float32)
     spec = pl.BlockSpec((tile_rows, w), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    score = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=(n_tiles,),
@@ -118,5 +175,3 @@ def fast_score_atlas(levels, tile_rows: int = 32):
         scratch_shapes=[pltpu.VMEM((2, rows, wp), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )(atlas)
-    return [score[off:off + img_l.shape[0], :img_l.shape[1]]
-            for off, img_l in zip(offs, levels)]

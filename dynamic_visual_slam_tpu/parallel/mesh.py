@@ -85,27 +85,17 @@ class SLAMFleet:
             return tstate, mstate, out
 
         from dynamic_visual_slam_tpu.frontend import orb
-        from dynamic_visual_slam_tpu.ops import descriptors as desc_k
 
-        def extract_one(gray):
-            g = gray.astype(jnp.float32) if gray.dtype != jnp.float32 \
-                else gray
-            return orb.extract(g, cfg.orb)
-
-        if desc_k.use_pallas():
-            # TPU: the Pallas extraction kernels (double-buffered score-atlas
-            # DMA + per-keypoint descriptor DMA) are grid programs that do
-            # not batch under vmap — run them under lax.map over streams
-            # (scan-of-pallas is exactly how the solo microbatch path runs
-            # them) and vmap only the rest of the step. On a multi-chip
-            # mesh, wrap in shard_map so the scan covers only the shard's
-            # local streams; on the one-chip serving shape this serializes
-            # ~0.3 ms/stream of extraction against a fully-batched
-            # remainder.
-            def extract_streams(grays):
-                return jax.lax.map(extract_one, grays)
-        else:
-            extract_streams = jax.vmap(extract_one)
+        def extract_streams(grays):
+            # ONE batched Pallas extraction across the whole fleet (a single
+            # score-atlas call + a single descriptor call for all streams —
+            # orb.extract_batch; replaced the lax.map-over-streams version,
+            # which serialized ~3 ms/stream of kernel latency per step). On
+            # non-TPU backends extract_batch falls back to vmapped XLA ops.
+            # Multi-chip note: a dp-sharded mesh would need this under
+            # shard_map so each chip builds its local shard's atlas; the
+            # one-real-chip serving shape and the CPU dryrun don't.
+            return orb.extract_batch(grays, cfg.orb)
 
         def one_ba(mstate, now):
             new_state, res = ba_mod.run_ba(cfg, k, mstate)

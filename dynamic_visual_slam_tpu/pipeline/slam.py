@@ -135,7 +135,7 @@ class SLAMSystem:
         cfg = self.config
         self._k = Intrinsics.from_config(cfg.camera)
         self._track = tracker.make_jitted_step(cfg)
-        def step_insert(tstate, mstate, gray, depth, ts, det):
+        def step_insert(tstate, mstate, gray, depth, ts, det, kps=None):
             """Track + conditional keyframe insert as ONE device program —
             the insert runs under lax.cond on out.is_keyframe (a real
             runtime branch: XLA executes the insert only on keyframes,
@@ -145,7 +145,8 @@ class SLAMSystem:
             into ONE d2h transfer: [q_wc(4), t_wc(3), tracking_ok, is_kf,
             n_features, n_matches, n_inliers]."""
             tstate, out = tracker.track_step(cfg, tstate, gray, depth, ts,
-                                             det=det, filtered=self._filtered)
+                                             det=det, filtered=self._filtered,
+                                             kps=kps)
             mstate = jax.lax.cond(
                 out.is_keyframe,
                 lambda ms: mapping.insert_keyframe(cfg, ms, out.keyframe,
@@ -169,14 +170,27 @@ class SLAMSystem:
             per batch instead of per frame — on remote/tunneled devices the
             per-RPC latency while the queue is busy dominates the frame
             loop otherwise (measured: 12 ms device compute, ~60 ms RPC
-            overhead per frame at batch 1)."""
+            overhead per frame at batch 1).
+
+            Extraction is state-free, so ALL B frames' ORB features are
+            computed up front in one batched dispatch (orb.extract_batch —
+            the two Pallas stages amortize their grid-step sequencing over
+            the batch) and the sequential scan body keeps only the truly
+            state-dependent core: match/RANSAC/PnP against the previous
+            frame, pose-chain accumulation, keyframe policy, map insert.
+            Cuts the per-frame critical path by the full extraction
+            latency (docs/PERF.md)."""
+            from dynamic_visual_slam_tpu.frontend import orb as orb_mod
+            kps_b = orb_mod.extract_batch(grays, cfg.orb)
+
             def body(carry, x):
                 ts_, ms_ = carry
-                g, d, t, det = x
-                ts_, ms_, out, telem = step_insert(ts_, ms_, g, d, t, det)
+                d, t, det, kp = x
+                ts_, ms_, out, telem = step_insert(ts_, ms_, None, d, t,
+                                                   det, kps=kp)
                 return (ts_, ms_), (out, telem)
             (tstate, mstate), (outs, telems) = jax.lax.scan(
-                body, (tstate, mstate), (grays, depths, tss, dets))
+                body, (tstate, mstate), (depths, tss, dets, kps_b))
             return tstate, mstate, outs, telems
 
         self._batch_step = jax.jit(batch_step, donate_argnums=(0, 1))

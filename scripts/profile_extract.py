@@ -132,3 +132,15 @@ for i in range(REPS):
     jax.block_until_ready(out.q_wc)
 print(f"{'FULL track_step (serialized)':>30}: "
       f"{(time.perf_counter() - t0) / REPS * 1e3:8.3f} ms")
+
+# full-block serialized: q_wc is an EARLY output — blocking only on it still
+# lets the tail of step i overlap step i+1. Block the whole result tree for
+# the true end-to-end step latency (what a lax.scan iteration costs).
+t0 = time.perf_counter()
+for i in range(REPS):
+    state, out = step(state, jnp.asarray(frames[2 + i % 2][0]),
+                      jnp.asarray(frames[2 + i % 2][1]),
+                      jnp.asarray((2 + i) / 30.0, jnp.float32))
+    jax.block_until_ready((state, out))
+print(f"{'FULL track_step (full block)':>30}: "
+      f"{(time.perf_counter() - t0) / REPS * 1e3:8.3f} ms")

@@ -158,6 +158,25 @@ class TestExtractor:
         bits2 = np.asarray(hamming.unpack_bits(kps.desc_packed))
         np.testing.assert_array_equal(bits2[m], np.asarray(kps.desc_bits)[m])
 
+    def test_extract_batch_matches_per_frame(self, scene):
+        """extract_batch contract: (B,H,W) stack → Keypoints with leading
+        dim B, equal to per-frame extract on every masked slot.  On CPU the
+        batched path is vmapped XLA; the TPU level-major atlas variant is
+        asserted bit-exact on the chip by scripts/check_batch_extract_tpu.py."""
+        cfg = ORBConfig(n_features=300, max_keypoints=320)
+        imgs = np.stack([scene, scene[::-1, ::-1].copy()])
+        kb = jax.jit(lambda x: orb.extract_batch(x, cfg))(jnp.asarray(imgs))
+        for i in range(2):
+            ks = jax.jit(lambda x: orb.extract(x, cfg))(jnp.asarray(imgs[i]))
+            m = np.asarray(ks.mask)
+            np.testing.assert_array_equal(np.asarray(kb.mask[i]), m)
+            np.testing.assert_array_equal(np.asarray(kb.uv[i])[m],
+                                          np.asarray(ks.uv)[m])
+            np.testing.assert_array_equal(np.asarray(kb.desc_bits[i])[m],
+                                          np.asarray(ks.desc_bits)[m])
+            np.testing.assert_array_equal(np.asarray(kb.octave[i])[m],
+                                          np.asarray(ks.octave)[m])
+
     def test_quotas_sum_to_n_features(self):
         cfg = ORBConfig()
         q = orb.features_per_level(cfg)
