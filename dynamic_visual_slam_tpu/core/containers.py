@@ -45,6 +45,37 @@ def stable_partition(mask: jnp.ndarray) -> jnp.ndarray:
         jnp.arange(n, dtype=jnp.int32))
 
 
+def topk_mask_int(scores: jnp.ndarray, valid: jnp.ndarray, k: int,
+                  max_score: int = 255) -> jnp.ndarray:
+    """Mask of the k highest-scoring valid rows, for scores whose integer
+    part lies in [0, max_score] (FAST responses are integer-valued ≤ 255
+    in the uint8 production pipeline).
+
+    jax.lax.top_k lowers to a full per-row SORT on TPU (~0.4 ms for 1024
+    rows) and two of them sat inside the per-frame tracking scan (keyframe
+    feature culling + payload selection).  Histogram equivalent: bucket
+    counts → threshold t = lowest bucket that still fits in k → keep all
+    rows above t plus the first (by index) tie rows at t.  Selects exactly
+    min(k, n_valid) rows — the same SET as top_k for integer scores (for
+    fractional scores, ranking is by integer part with index tie-break)."""
+    n = scores.shape[0]
+    s = jnp.where(valid, jnp.clip(scores, 0, max_score), -1.0
+                  ).astype(jnp.int32)                     # -1 = invalid
+    bins = jnp.arange(max_score + 1, dtype=jnp.int32)
+    hist = jnp.sum((s[None, :] == bins[:, None]).astype(jnp.int32), axis=1)
+    # count of valid rows with score >= v, per bucket v
+    cnt_ge = jnp.cumsum(hist[::-1])[::-1]
+    # threshold: smallest v with cnt_ge[v] <= k still admitting ties below;
+    # formally t = min v such that count(> v) < k  (then ties at t fill up)
+    cnt_gt = jnp.concatenate([cnt_ge[1:], jnp.zeros(1, jnp.int32)])
+    t = jnp.argmax((cnt_gt < k).astype(jnp.int32))        # first True
+    sel_hi = s > t
+    n_hi = jnp.sum(sel_hi.astype(jnp.int32))
+    ties = s == t
+    tie_rank = jnp.cumsum(ties.astype(jnp.int32)) - 1
+    return sel_hi | (ties & (tie_rank < k - n_hi) & valid)
+
+
 def compress_to_capacity(values, mask: jnp.ndarray, capacity: int, fill=0):
     """Stable-compact valid rows to the front, padded/truncated to capacity.
 

@@ -130,6 +130,42 @@ def features_per_level(cfg: ORBConfig) -> List[int]:
 # Per-level stages
 # --------------------------------------------------------------------------
 
+def _topk_per_cell(tiles: jnp.ndarray, k: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(C, M) cell scores (> 0 valid, -inf/≤0 invalid) → top-k values and
+    in-cell indices per row, identical to jax.lax.top_k(tiles, k) on valid
+    slots (descending, ties → lower index; exhausted slots give -inf).
+
+    lax.top_k lowers to a full per-row SORT on TPU — for level 0 that is a
+    777-cell × 1225-element sort, ~0.8 ms/frame of device time (the single
+    most expensive op in extraction, trace_scan.py). (floor(value), index)
+    packs exactly into one int32 — (⌊score⌋+1)·2048 + (2047−idx) ≤ 2.05e9
+    for scores ≤ 255 + the 1e6 integer spread boost — so the top-8 become
+    8 masked VPU max-reductions instead of a sort.  Returned values are
+    gathered back from `tiles` (exact floats); ranking is by integer part
+    with index tie-break, which matches lax.top_k exactly on the
+    integer-valued scores the production pipeline produces (uint8 camera
+    frames + quantized pyramid levels ⇒ integer FAST margins)."""
+    c, m_sz = tiles.shape
+    pos = jnp.arange(m_sz, dtype=jnp.int32)
+    valid = tiles > 0.0
+    enc = jnp.where(valid,
+                    (tiles.astype(jnp.int32) + 1) * 2048
+                    + (2047 - pos)[None, :], 0)
+    gots, idxs = [], []
+    for _ in range(k):
+        m = jnp.max(enc, axis=1)                          # (C,)
+        got = m > 0
+        idx = jnp.where(got, 2047 - (m & 2047), 0)
+        gots.append(got)
+        idxs.append(idx)
+        enc = jnp.where(pos[None, :] == idx[:, None], 0, enc)
+    idxs = jnp.stack(idxs, axis=1)                        # (C, k)
+    vals = jnp.where(jnp.stack(gots, axis=1),
+                     jnp.take_along_axis(tiles, idxs, axis=1), -jnp.inf)
+    return vals, idxs
+
+
 def detect_level(score: jnp.ndarray, quota: int, ini_th: float, min_th: float
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Score map → (ys, xs, responses) of up to `quota` spread keypoints.
@@ -160,7 +196,7 @@ def detect_level(score: jnp.ndarray, quota: int, ini_th: float, min_th: float
         jnp.where(keep, kept_score + 1e6 * is_cell_best, -jnp.inf))
     tiles = padded.reshape(hc, CELL, wc, CELL).transpose(0, 2, 1, 3)
     tiles = tiles.reshape(hc * wc, CELL * CELL)
-    cand_val, cand_in_cell = jax.lax.top_k(tiles, PER_CELL_K)  # (Hc*Wc, K)
+    cand_val, cand_in_cell = _topk_per_cell(tiles, PER_CELL_K)  # (Hc*Wc, K)
 
     cell_ids = jnp.arange(hc * wc, dtype=jnp.int32)
     cy = (cell_ids // wc)[:, None] * CELL + cand_in_cell // CELL

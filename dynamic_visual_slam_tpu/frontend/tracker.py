@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from dynamic_visual_slam_tpu.config import SLAMConfig
 from dynamic_visual_slam_tpu.core import camera as cam
+from dynamic_visual_slam_tpu.core import containers
 from dynamic_visual_slam_tpu.core import lie
 from dynamic_visual_slam_tpu.core.camera import Intrinsics
 from dynamic_visual_slam_tpu.frontend import ransac
@@ -116,9 +117,11 @@ def _select_keyframe_features(cfg: SLAMConfig, kps: Keypoints,
     >= cull_min_response.  Returns a (K,) keep mask."""
     unmatched = kps.mask & ~fm_inlier_curr & \
         (kps.response >= cfg.keyframe.cull_min_response)
-    score = jnp.where(unmatched, kps.response, -1.0)
-    _, top_idx = jax.lax.top_k(score, cfg.keyframe.cull_top_unmatched)
-    top_mask = jnp.zeros_like(unmatched).at[top_idx].set(True) & unmatched
+    # histogram top-k (containers.topk_mask_int): responses are integer
+    # FAST margins <= 255, and lax.top_k is a full 1024-row sort on TPU —
+    # one of two such sorts that sat inside the per-frame tracking scan
+    top_mask = containers.topk_mask_int(kps.response, unmatched,
+                                        cfg.keyframe.cull_top_unmatched)
     return (fm_inlier_curr & kps.mask) | top_mask
 
 
@@ -295,9 +298,13 @@ def track_step(cfg: SLAMConfig, state: TrackerState, gray: jnp.ndarray,
     # first frame: publish all depth-valid keypoints (frontend.cpp:1277-1316)
     keep = jnp.where(state.has_prev, keep, kps.mask)
     cap = cfg.map.max_obs_per_keyframe
-    sel_score = jnp.where(keep, kps.response, -1.0)
-    _, sel_idx = jax.lax.top_k(sel_score, cap)
-    sel_valid = jnp.take(keep, sel_idx)
+    # top-cap by response without a 1024-row device sort: histogram top-k
+    # mask + prefix-sum compaction. Payload rows land in keypoint-index
+    # order rather than response-descending — every consumer (association,
+    # BoW, BA gathers) is row-order-invariant.
+    sel = containers.topk_mask_int(kps.response, keep, cap)
+    sel_idx = containers.stable_partition(sel)[:cap]
+    sel_valid = jnp.take(sel, sel_idx)
     xyz_c = cam.backproject(k, kps.uv[sel_idx], z[sel_idx])
     xyz_w = cam.camera_to_world(q_wc, t_wc, xyz_c)
     # mask marks this frame's selected features regardless of is_kf (every

@@ -29,13 +29,12 @@ import numpy as np
 PH, PW = 56, 256      # patch tile (rows ≥ 8+reach·2+8, lanes ≥ 128+reach·2)
 CY = 24               # nominal in-patch keypoint row before alignment shift
 CX = 64
-KPB = 16              # keypoints per grid step: the per-grid-step fixed cost
+KPB = 32              # keypoints per grid step: the per-grid-step fixed cost
 #                       (DMA issue/wait + sequencing) dominated the tiny
 #                       per-keypoint compute at 8 — 128 sequential steps was
 #                       ~1.5 ms of latency on the tracking step's critical
-#                       path; 16 halves the step count for ~11 MB of
-#                       double-buffered scratch (blur bf16 + raw f32,
-#                       ~16 MB/core VMEM budget)
+#                       path; 32 keypoints/step needs ~11 MB of
+#                       double-buffered scratch (blur bf16 + raw f32)
 PAD_T, PAD_L = 32, 128   # generous margins so origins never clip
 REACH = 20            # max |rotated offset| + rounding (13·√2 ≈ 18.4 → 20)
 # patch bounds: in-patch keypoint row ∈ [CY, CY+7], col ∈ [CX, CX+127]
@@ -53,83 +52,6 @@ def _pad_image(img_plus_reflect: jnp.ndarray) -> jnp.ndarray:
     wp = -(-(PAD_L + w + right) // 128) * 128
     return jnp.pad(img_plus_reflect,
                    ((PAD_T, hp - h - PAD_T), (PAD_L, wp - w - PAD_L)))
-
-
-def _kernel(ys_ref, xs_ref, oy_ref, ox_ref, cos_ref, sin_ref, pxy_ref,
-            img_hbm, out_ref, patches, sems):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    i = pl.program_id(0)
-    px = pxy_ref[0, :]
-    py = pxy_ref[1, :]
-    for j in range(KPB):
-        k = i * KPB + j
-        y0 = pl.multiple_of(ys_ref[k], 8)
-        x0 = pl.multiple_of(xs_ref[k], 128)
-        pltpu.make_async_copy(img_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
-                              patches.at[j], sems.at[j]).start()
-    for j in range(KPB):
-        k = i * KPB + j
-        y0 = pl.multiple_of(ys_ref[k], 8)
-        x0 = pl.multiple_of(xs_ref[k], 128)
-        pltpu.make_async_copy(img_hbm.at[pl.ds(y0, PH), pl.ds(x0, PW)],
-                              patches.at[j], sems.at[j]).wait()
-    for j in range(KPB):
-        k = i * KPB + j
-        a = cos_ref[k]
-        b = sin_ref[k]
-        col = jnp.round(px * a - py * b).astype(jnp.int32) + ox_ref[k]
-        row = jnp.round(px * b + py * a).astype(jnp.int32) + oy_ref[k]
-        riota = jax.lax.broadcasted_iota(jnp.int32, (512, PH), 1)
-        rsel = (riota == row[:, None]).astype(jnp.float32)
-        y = jnp.dot(rsel, patches[j], preferred_element_type=jnp.float32)
-        ciota = jax.lax.broadcasted_iota(jnp.int32, (512, PW), 1)
-        csel = (ciota == col[:, None]).astype(jnp.float32)
-        s = jnp.sum(y * csel, axis=1)
-        out_ref[j, :] = (s[:256] < s[256:]).astype(jnp.float32)
-
-
-def descriptors_pallas(img_reflect_padded: jnp.ndarray, ys: jnp.ndarray,
-                       xs: jnp.ndarray, angles: jnp.ndarray,
-                       pattern: np.ndarray, sample_pad: int) -> jnp.ndarray:
-    """(Hp, Wp) blurred reflect-padded level image + K keypoints (unpadded
-    level coords) → (K, 256) uint8 bits.  K must be a multiple of 8 (pad
-    with dummy keypoints; callers mask)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    k = ys.shape[0]
-    assert k % KPB == 0, k
-    img = _pad_image(img_reflect_padded)
-    pat = jnp.asarray(pattern)
-    pxy = jnp.stack([jnp.concatenate([pat[:, 0], pat[:, 2]]),
-                     jnp.concatenate([pat[:, 1], pat[:, 3]])])
-    yk = ys + sample_pad + PAD_T          # kp row in the padded image
-    xk = xs + sample_pad + PAD_L
-    y0 = yk - CY
-    x0 = xk - CX
-    y0a = (y0 // 8) * 8
-    x0a = (x0 // 128) * 128
-    oy = yk - y0a                          # in-patch kp row ∈ [CY, CY+7]
-    ox = xk - x0a                          # ∈ [CX, CX+127]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(k // KPB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((KPB, 256), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((KPB, PH, PW), jnp.float32),
-                        pltpu.SemaphoreType.DMA((KPB,))])
-    out = pl.pallas_call(
-        _kernel, out_shape=jax.ShapeDtypeStruct((k, 256), jnp.float32),
-        grid_spec=grid_spec,
-    )(y0a.astype(jnp.int32), x0a.astype(jnp.int32),
-      oy.astype(jnp.int32), ox.astype(jnp.int32),
-      jnp.cos(angles), jnp.sin(angles), pxy, img)
-    return out.astype(jnp.uint8)
 
 
 def _kernel_with_moments(umax_list, n_grid):
@@ -211,8 +133,9 @@ def _kernel_with_moments(umax_list, n_grid):
             # rounded to integers <= 255 (orb.extract), which bf16
             # represents exactly, so the one-hot sample and the < compare
             # are BIT-EXACT while the patch DMA/VMEM cost halves.  The
-            # matmul upcasts to f32 (Mosaic rejects a bf16 lhs here) —
-            # the convert is VPU-cheap, the DMA saving is what matters.
+            # matmul upcasts to f32 — this Mosaic rejects a bf16 lhs for
+            # tpu.matmul ("Bad lhs type", verified) — so the win is the
+            # DMA/VMEM halving, not MXU rate.
             rsel = (riota == row[:, None]).astype(jnp.float32)
             y = jnp.dot(rsel, patches[slot, j].astype(jnp.float32),
                         preferred_element_type=jnp.float32)

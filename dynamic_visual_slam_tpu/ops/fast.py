@@ -79,23 +79,32 @@ def corner_score(img: jnp.ndarray) -> jnp.ndarray:
 def _score_block(tile: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     """(rows+6, cols+6) halo tile → (rows, cols) scores; pure VPU ops.
 
-    Two running accumulators keep VMEM pressure low (vs materializing all
-    log-step window mins): bright = max_k min9_k(d) directly, and dark via
+    The 16 length-9 window mins/maxes use the same log-step doubling as the
+    XLA corner_score (len-2 → len-4 → len-8 partials, then combine with the
+    +8 element): 64 VPU ops per reduction instead of the naive 16×8=128 —
+    the kernel is VPU-compute-bound (~13 µs per 32-row tile at 720p), so
+    this is a direct ~40 % cut.  min/max are exact and order-independent,
+    so scores stay bit-identical (cv2 golden tests).  dark via
     min9(−d) = −max9(d) ⇒ dark = −min_k max9_k(d).
     """
     center = tile[3:3 + rows, 3:3 + cols]
     d = [tile[3 + dy:3 + dy + rows, 3 + dx:3 + dx + cols] - center
          for dy, dx in CIRCLE_DYDX]
-    bright = None
-    dark_neg = None
-    for k in range(16):
-        mn = d[k]
-        mx = d[k]
-        for j in range(1, ARC_LEN):
-            mn = jnp.minimum(mn, d[(k + j) % 16])
-            mx = jnp.maximum(mx, d[(k + j) % 16])
-        bright = mn if bright is None else jnp.maximum(bright, mn)
-        dark_neg = mx if dark_neg is None else jnp.minimum(dark_neg, mx)
+
+    def win9(op):
+        p = [op(d[k], d[(k + 1) % 16]) for k in range(16)]
+        q = [op(p[k], p[(k + 2) % 16]) for k in range(16)]
+        o = [op(q[k], q[(k + 4) % 16]) for k in range(16)]
+        return [op(o[k], d[(k + 8) % 16]) for k in range(16)]
+
+    mn9 = win9(jnp.minimum)
+    bright = mn9[0]
+    for k in range(1, 16):
+        bright = jnp.maximum(bright, mn9[k])
+    mx9 = win9(jnp.maximum)
+    dark_neg = mx9[0]
+    for k in range(1, 16):
+        dark_neg = jnp.minimum(dark_neg, mx9[k])
     return jnp.maximum(bright, -dark_neg)
 
 

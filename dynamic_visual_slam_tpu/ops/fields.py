@@ -137,6 +137,13 @@ def _score_atlas_rows(atlas: jnp.ndarray, n_tiles: int, tile_rows: int,
 
     w = wp - 2 * HALO
     rows = tile_rows + 2 * HALO
+    # bf16 atlas: pyramid levels are integer-valued ≤ 255 (uint8 camera
+    # frames; build_pyramid quantizes resized levels), so diffs, the arc
+    # min/max tree and the final score are all integers ≤ 255 in magnitude
+    # — EXACT in bf16 — while DMA bytes and VPU op width halve.  (Exotic
+    # fractional float inputs would score on bf16-rounded values here;
+    # the XLA fallback path stays f32.)
+    atlas = atlas.astype(jnp.bfloat16)
 
     def start_copy(img_hbm, scratch, sems, tile_idx, slot):
         return pltpu.make_async_copy(
@@ -161,7 +168,7 @@ def _score_atlas_rows(atlas: jnp.ndarray, n_tiles: int, tile_rows: int,
         # 3-px halo, so hand it the sub-tile starting at HALO-3
         tile = scratch[slot]
         score_ref[...] = _score_block(
-            tile[HALO - 3:, HALO - 3:], tile_rows, w)
+            tile[HALO - 3:, HALO - 3:], tile_rows, w).astype(jnp.float32)
 
     out_shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, w), jnp.float32)
     spec = pl.BlockSpec((tile_rows, w), lambda i: (i, 0),
@@ -172,6 +179,11 @@ def _score_atlas_rows(atlas: jnp.ndarray, n_tiles: int, tile_rows: int,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=spec,
-        scratch_shapes=[pltpu.VMEM((2, rows, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, rows, wp), jnp.bfloat16),
                         pltpu.SemaphoreType.DMA((2,))],
+        # the log-step score body holds ~3 generations of 16 arc arrays
+        # live (~17 MB at 32 rows in f32) — past Mosaic's 16 MB default
+        # scoped budget but well inside the chip's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(atlas)

@@ -125,5 +125,43 @@ class TestConfig:
         assert c.prune.min_observations == 2
 
 
+class TestSortFreeTopK:
+    """The sort replacements on the per-frame critical path must select the
+    same SET as jax.lax.top_k for integer-valued scores (FAST responses)."""
+
+    def test_topk_mask_int_matches_top_k(self):
+        rng = np.random.default_rng(7)
+        for trial in range(20):
+            n = 256
+            k = int(rng.integers(1, 200))
+            scores = rng.integers(0, 256, n).astype(np.float32)
+            valid = rng.random(n) < rng.uniform(0.05, 1.0)
+            mask = np.asarray(containers.topk_mask_int(
+                jnp.asarray(scores), jnp.asarray(valid), k))
+            n_valid = int(valid.sum())
+            assert mask.sum() == min(k, n_valid), (trial, k, n_valid)
+            assert not (mask & ~valid).any()
+            # reference: top_k over masked scores (ties → lower index)
+            s = np.where(valid, scores, -1.0)
+            ref_idx = np.argsort(-s, kind="stable")[:min(k, n_valid)]
+            ref = np.zeros(n, bool)
+            ref[ref_idx] = True
+            np.testing.assert_array_equal(mask, ref)
+
+    def test_topk_per_cell_matches_top_k(self):
+        from dynamic_visual_slam_tpu.frontend.orb import _topk_per_cell
+        rng = np.random.default_rng(3)
+        tiles = rng.integers(1, 256, (40, 77)).astype(np.float32)
+        tiles[rng.random((40, 77)) < 0.8] = -np.inf   # sparse valid peaks
+        tiles[5] = -np.inf                             # an empty cell
+        vals, idxs = jax.jit(lambda t: _topk_per_cell(t, 8))(
+            jnp.asarray(tiles))
+        rv, ri = jax.lax.top_k(jnp.asarray(tiles), 8)
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+        got_i, ref_i = np.asarray(idxs), np.asarray(ri)
+        finite = np.isfinite(np.asarray(vals))
+        np.testing.assert_array_equal(got_i[finite], ref_i[finite])
+
+
 def test_eight_cpu_devices():
     assert len(jax.devices()) == 8
