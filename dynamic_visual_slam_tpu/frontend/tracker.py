@@ -352,3 +352,269 @@ def make_jitted_step(cfg: SLAMConfig):
     def step(state, gray, depth_m, timestamp):
         return track_step(cfg, state, gray, depth_m, timestamp)
     return jax.jit(step, donate_argnums=(0,))
+
+
+def track_batch(cfg: SLAMConfig, state: TrackerState, kps_b: Keypoints,
+                depths: jnp.ndarray, timestamps: jnp.ndarray,
+                dets=None, filtered=None
+                ) -> Tuple[TrackerState, TrackOutput]:
+    """B frames through the tracker with the state-free work VMAPPED.
+
+    The per-frame scan in process_batch was launch-bound: ~3.5 ms/frame of
+    device time spread over hundreds of tiny kernels (trace_scan.py), most
+    of them in stages whose inputs do not depend on the previous frame's
+    OUTPUT at all — depth gating, semantic culling, frame-to-(i-1) matching,
+    F-RANSAC, frame-to-frame PnP, payload candidate selection.  Here those
+    run as (B, …) batched ops; the sequential lax.scan keeps only the truly
+    state-dependent core: pose-chain composition + gates, the keyframe
+    policy, and the keyframe-anchored PnP.
+
+    Two deliberate approximations vs the frame-by-frame track_step (both
+    affect only RANSAC hypothesis PRIORS, never the scoring or gates;
+    tests/test_dynamic.py bounds the trajectory divergence):
+    - the constant-velocity prior for pair i is pair i-1's prior-less PnP
+      solution (two vmapped passes) instead of the sequential effective
+      rel — equal whenever frame i-1's frame-to-frame solve succeeded;
+    - the keyframe-anchored PnP is evaluated SPECULATIVELY for all frames
+      against the batch-start keyframe (vmapped, with a composed-rel-chain
+      pose prediction as prior); frames after a mid-batch keyframe
+      insertion recompute it exactly inside the scan under lax.cond — the
+      expensive branch runs only for the post-insertion tail, and its
+      result is identical to the sequential path's.
+    """
+    k = Intrinsics.from_config(cfg.camera)
+    b = timestamps.shape[0]
+    if depths.dtype == jnp.uint16:
+        depths = depths.astype(jnp.float32) * 1e-3
+    elif depths.dtype != jnp.float32:
+        depths = depths.astype(jnp.float32)
+
+    # --- rng chain: exactly the keys the sequential path would draw -------
+    def split_body(r, _):
+        r2, k_fm, k_pnp, k_anc = jax.random.split(r, 4)
+        return r2, (k_fm, k_pnp, k_anc)
+    rng_out, (k_fm_b, k_pnp_b, k_anc_b) = jax.lax.scan(
+        split_body, state.rng, None, length=b)
+
+    # --- per-frame prep: depth gate + semantic cull (vmapped) -------------
+    z_b = jax.vmap(_depth_at)(depths, kps_b.uv)
+    depth_ok = (z_b > cfg.depth.min_depth) & (z_b < cfg.depth.max_depth)
+    mask_b = kps_b.mask & depth_ok
+    if dets is not None and filtered is not None \
+            and cfg.semantic.cull_in_frontend:
+        drop = jax.vmap(lambda uv, det: _in_filtered_box(uv, det, filtered)
+                        )(kps_b.uv, dets)
+        mask_b = mask_b & ~drop
+    kps_b = kps_b._replace(mask=mask_b)
+    n_feat = jnp.sum(mask_b.astype(jnp.int32), axis=1)       # (B,)
+    lost = n_feat == 0
+
+    # --- previous-frame chain (frame 0 ← carry state) ----------------------
+    shift = lambda carry0, a: jnp.concatenate([carry0[None], a[:-1]], axis=0)
+    prev_b = jax.tree_util.tree_map(shift, state.prev, kps_b)
+    prev_z = shift(state.prev_depth, z_b)
+    has_prev = shift(state.has_prev, ~lost)
+
+    # --- match + F-RANSAC + frame-to-frame PnP (vmapped pairs) -------------
+    def pair_stage(kps, prev, pz, hp, key_fm, key_pnp, prior_q, prior_t):
+        m = hamming.match(kps.desc_bits, prev.desc_bits, kps.mask,
+                          prev.mask & hp,
+                          max_distance=float(cfg.match.max_hamming))
+        uv_prev = prev.uv[m.train_idx]
+        fm = ransac.fundamental_ransac(uv_prev, kps.uv, m.valid, key_fm,
+                                       n_hyp=cfg.ransac.fm_iterations,
+                                       threshold=cfg.ransac.fm_threshold_px)
+        fm_inlier = fm.inliers & fm.valid
+        z_prev = pz[m.train_idx]
+        pnp_ok = fm_inlier & (z_prev > cfg.depth.min_depth) & \
+            (z_prev <= cfg.depth.max_depth)
+        xyz_prev = cam.backproject(k, uv_prev, z_prev)
+        pnp = ransac.pnp_ransac(k, xyz_prev, kps.uv, pnp_ok, key_pnp,
+                                n_hyp=cfg.ransac.pnp_iterations,
+                                threshold=cfg.ransac.pnp_threshold_px,
+                                min_inliers=cfg.ransac.min_pnp_matches,
+                                refine_iters=cfg.ransac.refine_iterations,
+                                prior_q=prior_q, prior_t=prior_t)
+        n_match = jnp.sum(m.valid.astype(jnp.int32))
+        n_inlier = jnp.sum(fm_inlier.astype(jnp.int32))
+        return pnp, fm_inlier, n_match, n_inlier
+
+    # pass 1: prior-less (identity stands in, keeping the pool layout)
+    iq = jnp.broadcast_to(lie.quat_identity(), (b, 4))
+    it = jnp.zeros((b, 3), jnp.float32)
+    pnp1, _, _, _ = jax.vmap(pair_stage)(
+        kps_b, prev_b, prev_z, has_prev, k_fm_b, k_pnp_b, iq, it)
+    # pass 2: constant-velocity prior = previous pair's pass-1 solution
+    # (frame 0 ← the carried effective rel), same keys → same random pool
+    pq1 = jnp.where(pnp1.valid[:, None], pnp1.q, iq)
+    pt1 = jnp.where(pnp1.valid[:, None], pnp1.t, it)
+    prior_q = shift(state.q_rel, pq1)
+    prior_t = shift(state.t_rel, pt1)
+    pnp, fm_inlier_b, n_match, n_inlier = jax.vmap(pair_stage)(
+        kps_b, prev_b, prev_z, has_prev, k_fm_b, k_pnp_b, prior_q, prior_t)
+
+    # relative motion + gate (vmapped)
+    q_inv, t_inv = jax.vmap(lie.se3_inverse)(pnp.q, pnp.t)
+    rvec = jax.vmap(lie.so3_log)(q_inv)
+    motion_ok = (jnp.linalg.norm(t_inv, axis=1)
+                 <= cfg.motion.max_translation_m) & \
+        (jnp.linalg.norm(rvec, axis=1) <= cfg.motion.max_rotation_rad)
+    accept_pnp = pnp.valid & motion_ok & has_prev & ~lost
+
+    # --- pose-chain PREDICTION for the speculative anchor prior -----------
+    # prefix compose of the accepted-or-identity rels (associative scan);
+    # ignores in-scan gate outcomes — it only seeds the anchor's hypothesis
+    # pool, the exact in-scan recompute path builds its own exact prior
+    rel_q = jnp.where(accept_pnp[:, None], q_inv, iq)
+    rel_t = jnp.where(accept_pnp[:, None], t_inv, it)
+
+    def se3_chain(a, c):
+        qa, ta = a
+        qc, tc = c
+        return lie.quat_mul(qa, qc), lie.quat_rotate(qa, tc) + ta
+    pre_q, pre_t = jax.lax.associative_scan(se3_chain, (rel_q, rel_t))
+    q_pred = lie.quat_normalize(
+        jax.vmap(lambda qq: lie.quat_mul(state.q_wc, qq))(pre_q))
+    t_pred = jax.vmap(lambda tt: lie.quat_rotate(state.q_wc, tt)
+                      + state.t_wc)(pre_t)
+
+    # --- keyframe-policy match + anchored PnP vs the batch-start keyframe --
+    def kf_stage(kps, key_anc, pq, pt, kf_desc, kf_mask, kf_xyz, has_kf):
+        kf_m = hamming.match(kps.desc_bits, kf_desc, kps.mask,
+                             kf_mask & has_kf,
+                             max_distance=float(cfg.match.max_hamming))
+        n_kf = jnp.sum(kf_m.valid.astype(jnp.int32))
+        if not cfg.tracking.anchor_to_keyframe:
+            zq = lie.quat_identity()
+            return (n_kf, zq, jnp.zeros(3), jnp.asarray(False),
+                    jnp.asarray(0, jnp.int32))
+        q_cw, t_cw = lie.se3_inverse(pq, pt)
+        kfa = ransac.pnp_ransac(k, kf_xyz[kf_m.train_idx], kps.uv,
+                                kf_m.valid & has_kf, key_anc,
+                                n_hyp=cfg.ransac.pnp_iterations,
+                                threshold=cfg.ransac.pnp_threshold_px,
+                                min_inliers=cfg.ransac.min_pnp_matches,
+                                refine_iters=cfg.ransac.refine_iterations,
+                                prior_q=q_cw, prior_t=t_cw)
+        return n_kf, kfa.q, kfa.t, kfa.valid, kfa.n_inliers
+
+    spec = jax.vmap(kf_stage, in_axes=(0, 0, 0, 0) + (None,) * 4)(
+        kps_b, k_anc_b, q_pred, t_pred, state.kf_desc_bits, state.kf_mask,
+        state.kf_xyz_w, state.has_kf)
+
+    # --- payload candidates (vmapped; world lift happens in the scan) ------
+    def payload_stage(kps, fm_inlier, hp, z):
+        keep = _select_keyframe_features(cfg, kps, fm_inlier)
+        keep = jnp.where(hp, keep, kps.mask)
+        cap = cfg.map.max_obs_per_keyframe
+        sel = containers.topk_mask_int(kps.response, keep, cap)
+        sel_idx = containers.stable_partition(sel)[:cap]
+        xyz_c = cam.backproject(k, kps.uv[sel_idx], z[sel_idx])
+        return (sel_idx, jnp.take(sel, sel_idx), xyz_c, kps.uv[sel_idx],
+                kps.desc_bits[sel_idx], kps.desc_packed[sel_idx],
+                kps.response[sel_idx])
+    (sel_idx_b, sel_valid_b, xyz_c_b, sel_uv_b, sel_bits_b, sel_packed_b,
+     sel_resp_b) = jax.vmap(payload_stage)(kps_b, fm_inlier_b, has_prev, z_b)
+
+    # --- the sequential core ------------------------------------------------
+    def body(carry, x):
+        (q_wc0, t_wc0, kf_desc, kf_mask, kf_xyz, has_kf, since_kf,
+         frame_idx, q_rel0, t_rel0, kf_dirty) = carry
+        (qi, ti, ok_pnp, lost_i, hp_i, spec_i, desc_i, uvm_i,
+         mask_i, key_anc_i, xyz_c_i, sel_valid_i, sel_bits_i, n_pnp2_i) = x
+
+        q_new, t_new = lie.se3_compose(q_wc0, t_wc0, qi, ti)
+        q_wc = jnp.where(ok_pnp, q_new, q_wc0)
+        t_wc = jnp.where(ok_pnp, t_new, t_wc0)
+
+        def recompute(_):
+            kf_m = hamming.match(desc_i, kf_desc, mask_i,
+                                 kf_mask & has_kf,
+                                 max_distance=float(cfg.match.max_hamming))
+            n_kf = jnp.sum(kf_m.valid.astype(jnp.int32))
+            if not cfg.tracking.anchor_to_keyframe:
+                return (n_kf, lie.quat_identity(), jnp.zeros(3),
+                        jnp.asarray(False), jnp.asarray(0, jnp.int32))
+            q_cw, t_cw = lie.se3_inverse(q_wc, t_wc)
+            kfa = ransac.pnp_ransac(
+                k, kf_xyz[kf_m.train_idx], uvm_i,
+                kf_m.valid & has_kf, key_anc_i,
+                n_hyp=cfg.ransac.pnp_iterations,
+                threshold=cfg.ransac.pnp_threshold_px,
+                min_inliers=cfg.ransac.min_pnp_matches,
+                refine_iters=cfg.ransac.refine_iterations,
+                prior_q=q_cw, prior_t=t_cw)
+            return n_kf, kfa.q, kfa.t, kfa.valid, kfa.n_inliers
+
+        n_kf_matches, kfa_q, kfa_t, kfa_valid, kfa_n = jax.lax.cond(
+            kf_dirty, recompute, lambda _: spec_i, None)
+
+        tracked = ok_pnp
+        n_pnp_out = n_pnp2_i
+        if cfg.tracking.anchor_to_keyframe:
+            q_abs, t_abs = lie.se3_inverse(kfa_q, kfa_t)
+            dphi = lie.so3_log(lie.quat_mul(q_abs, lie.quat_conj(q_wc)))
+            use_anchor = has_kf & kfa_valid & ~lost_i \
+                & (kfa_n >= cfg.tracking.anchor_min_inliers) \
+                & (jnp.linalg.norm(t_abs - t_wc)
+                   <= cfg.tracking.anchor_max_jump_m) \
+                & (jnp.linalg.norm(dphi) <= cfg.tracking.anchor_max_jump_rad)
+            q_wc = jnp.where(use_anchor, q_abs, q_wc)
+            t_wc = jnp.where(use_anchor, t_abs, t_wc)
+            tracked = ok_pnp | use_anchor
+            q_rel_eff, t_rel_eff = lie.se3_compose(
+                *lie.se3_inverse(q_wc, t_wc), q_wc0, t_wc0)
+            n_pnp_out = jnp.where(use_anchor, kfa_n, n_pnp2_i)
+        else:
+            q_rel_eff, t_rel_eff = qi, ti
+
+        is_kf = (~has_kf) | \
+            (n_kf_matches < cfg.keyframe.min_matches_to_last_kf) | \
+            (since_kf >= cfg.keyframe.max_frames_between_kf)
+        is_kf = is_kf & ~lost_i & (tracked | (~hp_i & ~has_kf))
+
+        xyz_w = cam.camera_to_world(q_wc, t_wc, xyz_c_i)
+        new_carry = (
+            q_wc, t_wc,
+            jnp.where(is_kf, sel_bits_i, kf_desc),
+            jnp.where(is_kf, sel_valid_i, kf_mask),
+            jnp.where(is_kf, xyz_w, kf_xyz),
+            has_kf | (is_kf & hp_i),
+            jnp.where(is_kf, 0, since_kf + 1),
+            frame_idx + 1,
+            jnp.where(tracked, q_rel_eff, q_rel0),
+            jnp.where(tracked, t_rel_eff, t_rel0),
+            kf_dirty | is_kf)
+        return new_carry, (q_wc, t_wc, tracked, is_kf, xyz_w, n_pnp_out)
+
+    xs = (pnp.q, pnp.t, accept_pnp, lost, has_prev, spec,
+          kps_b.desc_bits, kps_b.uv, kps_b.mask, k_anc_b, xyz_c_b,
+          sel_valid_b, sel_bits_b, pnp.n_inliers)
+
+    carry0 = (state.q_wc, state.t_wc, state.kf_desc_bits, state.kf_mask,
+              state.kf_xyz_w, state.has_kf, state.frames_since_kf,
+              state.frame_idx, state.q_rel, state.t_rel,
+              jnp.asarray(False))
+    carry, (q_wc_b, t_wc_b, tracked_b, is_kf_b, xyz_w_b, n_pnp_b) = \
+        jax.lax.scan(body, carry0, xs)
+    (q_wc_f, t_wc_f, kf_desc_f, kf_mask_f, kf_xyz_f, has_kf_f, since_f,
+     fidx_f, q_rel_f, t_rel_f, _) = carry
+
+    last = jax.tree_util.tree_map(lambda a: a[-1], kps_b)
+    new_state = TrackerState(
+        q_wc=q_wc_f, t_wc=t_wc_f, prev=last, prev_depth=z_b[-1],
+        has_prev=~lost[-1], kf_desc_bits=kf_desc_f, kf_mask=kf_mask_f,
+        kf_xyz_w=kf_xyz_f, has_kf=has_kf_f, frames_since_kf=since_f,
+        frame_idx=fidx_f, rng=rng_out, q_rel=q_rel_f, t_rel=t_rel_f)
+
+    frame_idx_b = state.frame_idx + jnp.arange(b, dtype=jnp.int32)
+    kf_blocks = KeyframeBlock(
+        q_wc=q_wc_b, t_wc=t_wc_b, uv=sel_uv_b, xyz_w=xyz_w_b,
+        desc_bits=sel_bits_b, desc_packed=sel_packed_b,
+        response=sel_resp_b, mask=sel_valid_b,
+        frame_idx=frame_idx_b, timestamp=timestamps)
+    out = TrackOutput(
+        q_wc=q_wc_b, t_wc=t_wc_b, tracking_ok=tracked_b,
+        n_features=n_feat, n_matches=n_match, n_inliers=n_inlier,
+        n_pnp_inliers=n_pnp_b, is_keyframe=is_kf_b, keyframe=kf_blocks)
+    return new_state, out

@@ -172,25 +172,39 @@ class SLAMSystem:
             loop otherwise (measured: 12 ms device compute, ~60 ms RPC
             overhead per frame at batch 1).
 
-            Extraction is state-free, so ALL B frames' ORB features are
-            computed up front in one batched dispatch (orb.extract_batch —
-            the two Pallas stages amortize their grid-step sequencing over
-            the batch) and the sequential scan body keeps only the truly
-            state-dependent core: match/RANSAC/PnP against the previous
-            frame, pose-chain accumulation, keyframe policy, map insert.
-            Cuts the per-frame critical path by the full extraction
-            latency (docs/PERF.md)."""
+            Structure (docs/PERF.md): extraction for ALL B frames runs in
+            one batched dispatch (orb.extract_batch), then
+            tracker.track_batch vmaps every state-free stage (depth gate,
+            culling, matching, F-RANSAC, frame-to-frame PnP, payload
+            selection) across the batch and scans only the state-dependent
+            core; a second light scan applies the conditional keyframe
+            inserts.  The old formulation scanned the WHOLE step per frame
+            — ~3.5 ms/frame of launch-bound device time."""
             from dynamic_visual_slam_tpu.frontend import orb as orb_mod
             kps_b = orb_mod.extract_batch(grays, cfg.orb)
+            tstate, outs = tracker.track_batch(
+                cfg, tstate, kps_b, depths, tss, dets,
+                filtered=self._filtered)
 
-            def body(carry, x):
-                ts_, ms_ = carry
-                d, t, det, kp = x
-                ts_, ms_, out, telem = step_insert(ts_, ms_, None, d, t,
-                                                   det, kps=kp)
-                return (ts_, ms_), (out, telem)
-            (tstate, mstate), (outs, telems) = jax.lax.scan(
-                body, (tstate, mstate), (depths, tss, dets, kps_b))
+            def insert_body(ms_, x):
+                out_is_kf, kf, det = x
+                ms_ = jax.lax.cond(
+                    out_is_kf,
+                    lambda ms: mapping.insert_keyframe(cfg, ms, kf, det,
+                                                       self._filtered)[0],
+                    lambda ms: ms,
+                    ms_)
+                return ms_, None
+            mstate, _ = jax.lax.scan(
+                insert_body, mstate, (outs.is_keyframe, outs.keyframe, dets))
+            telems = jnp.concatenate([
+                outs.q_wc, outs.t_wc,
+                jnp.stack([outs.tracking_ok.astype(jnp.float32),
+                           outs.is_keyframe.astype(jnp.float32),
+                           outs.n_features.astype(jnp.float32),
+                           outs.n_matches.astype(jnp.float32),
+                           outs.n_inliers.astype(jnp.float32)], axis=-1)],
+                axis=-1)
             return tstate, mstate, outs, telems
 
         self._batch_step = jax.jit(batch_step, donate_argnums=(0, 1))
