@@ -141,29 +141,41 @@ def _topk_per_cell(tiles: jnp.ndarray, k: int
     most expensive op in extraction, trace_scan.py). (floor(value), index)
     packs exactly into one int32 — (⌊score⌋+1)·2048 + (2047−idx) ≤ 2.05e9
     for scores ≤ 255 + the 1e6 integer spread boost — so the top-8 become
-    8 masked VPU max-reductions instead of a sort.  Returned values are
-    gathered back from `tiles` (exact floats); ranking is by integer part
-    with index tie-break, which matches lax.top_k exactly on the
-    integer-valued scores the production pipeline produces (uint8 camera
-    frames + quantized pyramid levels ⇒ integer FAST margins)."""
-    c, m_sz = tiles.shape
-    pos = jnp.arange(m_sz, dtype=jnp.int32)
+    8 masked VPU max-reductions instead of a sort.  Values are DECODED from
+    the packed integers ((m>>11)−1 — no gather touches the scalar core),
+    exact because production scores are integer-valued (uint8 camera frames
+    + quantized pyramid levels ⇒ integer FAST margins); ranking matches
+    lax.top_k exactly on such scores (index tie-break included).
+
+    Accepts (C, M) rows-of-cells, or the UNRESHAPED (Hc, CELL, Wc, CELL)
+    cell grid — the 4D form skips the (Hc, Wc, CELL, CELL) transpose, which
+    materialized a ~180 MB layout copy per 720p level at batch 24
+    (trace: copy.1502-1505).  In-cell index = row·CELL + col either way."""
+    if tiles.ndim == 2:
+        m_sz = tiles.shape[1]
+        pos = jnp.arange(m_sz, dtype=jnp.int32)[None, :]
+        axes = (1,)
+        expand = lambda i: i[:, None]
+    else:
+        cell_w = tiles.shape[3]
+        ri = jax.lax.broadcasted_iota(jnp.int32, tiles.shape, 1)
+        ci = jax.lax.broadcasted_iota(jnp.int32, tiles.shape, 3)
+        pos = ri * cell_w + ci
+        axes = (1, 3)
+        expand = lambda i: i[:, None, :, None]
     valid = tiles > 0.0
     enc = jnp.where(valid,
-                    (tiles.astype(jnp.int32) + 1) * 2048
-                    + (2047 - pos)[None, :], 0)
-    gots, idxs = [], []
+                    (tiles.astype(jnp.int32) + 1) * 2048 + (2047 - pos), 0)
+    vals, idxs = [], []
     for _ in range(k):
-        m = jnp.max(enc, axis=1)                          # (C,)
+        m = jnp.max(enc, axis=axes)
         got = m > 0
         idx = jnp.where(got, 2047 - (m & 2047), 0)
-        gots.append(got)
+        vals.append(jnp.where(got, ((m >> 11) - 1).astype(tiles.dtype),
+                              -jnp.inf))
         idxs.append(idx)
-        enc = jnp.where(pos[None, :] == idx[:, None], 0, enc)
-    idxs = jnp.stack(idxs, axis=1)                        # (C, k)
-    vals = jnp.where(jnp.stack(gots, axis=1),
-                     jnp.take_along_axis(tiles, idxs, axis=1), -jnp.inf)
-    return vals, idxs
+        enc = jnp.where(pos == expand(idx), 0, enc)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
 def detect_level(score: jnp.ndarray, quota: int, ini_th: float, min_th: float
@@ -194,13 +206,13 @@ def detect_level(score: jnp.ndarray, quota: int, ini_th: float, min_th: float
     padded = jnp.full((hc * CELL, wc * CELL), -jnp.inf, score.dtype)
     padded = padded.at[:h, :w].set(
         jnp.where(keep, kept_score + 1e6 * is_cell_best, -jnp.inf))
-    tiles = padded.reshape(hc, CELL, wc, CELL).transpose(0, 2, 1, 3)
-    tiles = tiles.reshape(hc * wc, CELL * CELL)
-    cand_val, cand_in_cell = _topk_per_cell(tiles, PER_CELL_K)  # (Hc*Wc, K)
+    tiles = padded.reshape(hc, CELL, wc, CELL)   # pure reshape, no transpose
+    cand_val, cand_in_cell = _topk_per_cell(tiles, PER_CELL_K)  # (Hc,Wc,K)
 
-    cell_ids = jnp.arange(hc * wc, dtype=jnp.int32)
-    cy = (cell_ids // wc)[:, None] * CELL + cand_in_cell // CELL
-    cx = (cell_ids % wc)[:, None] * CELL + cand_in_cell % CELL
+    cy = jax.lax.broadcasted_iota(jnp.int32, cand_in_cell.shape, 0) * CELL \
+        + cand_in_cell // CELL
+    cx = jax.lax.broadcasted_iota(jnp.int32, cand_in_cell.shape, 1) * CELL \
+        + cand_in_cell % CELL
 
     flat_val = cand_val.reshape(-1)
     flat_y = cy.reshape(-1)

@@ -33,8 +33,8 @@ KPB = 32              # keypoints per grid step: the per-grid-step fixed cost
 #                       (DMA issue/wait + sequencing) dominated the tiny
 #                       per-keypoint compute at 8 — 128 sequential steps was
 #                       ~1.5 ms of latency on the tracking step's critical
-#                       path; 32 keypoints/step needs ~11 MB of
-#                       double-buffered scratch (blur bf16 + raw f32)
+#                       path; 32 keypoints/step needs ~7 MB of
+#                       double-buffered scratch (blur + raw, both bf16)
 PAD_T, PAD_L = 32, 128   # generous margins so origins never clip
 REACH = 20            # max |rotated offset| + rounding (13·√2 ≈ 18.4 → 20)
 # patch bounds: in-patch keypoint row ∈ [CY, CY+7], col ∈ [CX, CX+127]
@@ -110,17 +110,20 @@ def _kernel_with_moments(umax_list, n_grid):
         for j in range(KPB):
             k = i * KPB + j
             # --- IC moments over the umax disc around (oy, ox) ---
-            ry = jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 0) - oy_ref[k]
+            # the disc half-width u depends only on the ROW distance, so the
+            # umax where-chain runs over a (PH, 1) column and broadcasts —
+            # not over the full (PH, PW) patch (31 fewer full-patch passes)
+            ry1 = jax.lax.broadcasted_iota(jnp.int32, (PH, 1), 0) - oy_ref[k]
             rx = jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 1) - ox_ref[k]
-            ady = jnp.abs(ry)
-            u = jnp.zeros((PH, PW), jnp.int32)
+            ady1 = jnp.abs(ry1)
+            u1 = jnp.zeros((PH, 1), jnp.int32)
             for dyv, uv in enumerate(umax_list):
-                u = jnp.where(ady == dyv, int(uv), u)
-            inside = ((ady <= HALF_PATCH_IC)
-                      & (jnp.abs(rx) <= u)).astype(jnp.float32)
-            w = raws[slot, j] * inside
+                u1 = jnp.where(ady1 == dyv, int(uv), u1)
+            inside = ((ady1 <= HALF_PATCH_IC)
+                      & (jnp.abs(rx) <= u1)).astype(jnp.float32)
+            w = raws[slot, j].astype(jnp.float32) * inside
             m10 = jnp.sum(w * rx.astype(jnp.float32))
-            m01 = jnp.sum(w * ry.astype(jnp.float32))
+            m01 = jnp.sum(w * ry1.astype(jnp.float32))
             n2 = m10 * m10 + m01 * m01
             inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-18))
             a = jnp.where(n2 > 0, m10 * inv, 1.0)   # cos(theta)
@@ -128,7 +131,10 @@ def _kernel_with_moments(umax_list, n_grid):
 
             col = jnp.round(px * a - py * b).astype(jnp.int32) + ox_ref[k]
             row = jnp.round(px * b + py * a).astype(jnp.int32) + oy_ref[k]
-            riota = jax.lax.broadcasted_iota(jnp.int32, (512, PH), 1)
+            # column select as ONE (PH,PW)x(PW,512) matmul, row select as a
+            # small (PH,512) elementwise+reduce — sampling z[p,r] =
+            # patch[p,col[r]], s[r] = z[row[r],r].  One-hot matmuls are
+            # bit-exact (each sum has exactly one nonzero term).
             # blurred patches live in bf16 scratch: the blur output is
             # rounded to integers <= 255 (orb.extract), which bf16
             # represents exactly, so the one-hot sample and the < compare
@@ -136,12 +142,13 @@ def _kernel_with_moments(umax_list, n_grid):
             # matmul upcasts to f32 — this Mosaic rejects a bf16 lhs for
             # tpu.matmul ("Bad lhs type", verified) — so the win is the
             # DMA/VMEM halving, not MXU rate.
-            rsel = (riota == row[:, None]).astype(jnp.float32)
-            y = jnp.dot(rsel, patches[slot, j].astype(jnp.float32),
+            ciota = jax.lax.broadcasted_iota(jnp.int32, (PW, 512), 0)
+            cselT = (ciota == col[None, :]).astype(jnp.float32)
+            z = jnp.dot(patches[slot, j].astype(jnp.float32), cselT,
                         preferred_element_type=jnp.float32)
-            ciota = jax.lax.broadcasted_iota(jnp.int32, (512, PW), 1)
-            csel = (ciota == col[:, None]).astype(jnp.float32)
-            s = jnp.sum(y * csel, axis=1)
+            piota = jax.lax.broadcasted_iota(jnp.int32, (PH, 512), 0)
+            rselT = (piota == row[None, :]).astype(jnp.float32)
+            s = jnp.sum(z * rselT, axis=0)
             out_ref[j, :] = (s[:256] < s[256:]).astype(jnp.float32)
             lane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
             mom_ref[j, :] = jnp.where(lane == 0, m10,
@@ -168,11 +175,15 @@ def descriptors_moments_pallas(img_blur_padded: jnp.ndarray,
 
     k = ys.shape[0]
     assert k % KPB == 0, k
-    # blur atlas DMAs as bf16 (integer-valued <= 255 after orb.extract's
-    # round+clip — exact); the RAW atlas stays f32: resized pyramid levels
-    # are fractional and the IC moments must match the XLA fallback bitwise
+    # BOTH atlases DMA as bf16: blur outputs are rounded integers <= 255
+    # (orb.extract) and pyramid levels are quantized integers <= 255
+    # (ops/image.build_pyramid quantize=True) — exactly representable in
+    # bf16.  Moment products/sums happen in f32 on integer values < 2^24,
+    # so IC moments stay bitwise equal to the XLA fallback.  (A caller
+    # feeding fractional float images would get bf16-rounded values here;
+    # the XLA fallback path stays f32.)
     img = _pad_image(img_blur_padded).astype(jnp.bfloat16)
-    raw = _pad_image(img_raw_padded)
+    raw = _pad_image(img_raw_padded).astype(jnp.bfloat16)
     pat = jnp.asarray(pattern)
     pxy = jnp.stack([jnp.concatenate([pat[:, 0], pat[:, 2]]),
                      jnp.concatenate([pat[:, 1], pat[:, 3]])])
@@ -194,7 +205,7 @@ def descriptors_moments_pallas(img_blur_padded: jnp.ndarray,
                    pl.BlockSpec((KPB, 128), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((2, KPB, PH, PW), jnp.bfloat16),
-                        pltpu.VMEM((2, KPB, PH, PW), jnp.float32),
+                        pltpu.VMEM((2, KPB, PH, PW), jnp.bfloat16),
                         pltpu.SemaphoreType.DMA((2, KPB)),
                         pltpu.SemaphoreType.DMA((2, KPB))])
     bits, moments = pl.pallas_call(

@@ -87,7 +87,7 @@ def fast_score_atlas(levels, tile_rows: int = 32):
             for off, img_l in zip(offs, levels)]
 
 
-def fast_score_atlas_batch(levels_b, tile_rows: int = 32):
+def fast_score_atlas_batch(levels_b, tile_rows: int = 128):
     """Batched fast_score_atlas: FAST-9 scores for B frames' full pyramids
     in ONE Pallas call.
 
