@@ -101,6 +101,16 @@ class RANSACConfig:
     refine_iterations: int = 10  # Gauss-Newton polish per round (two rounds
     # with inlier re-gating in between); 10+10 buys measurably better poses
     # than 5+5 on hard frames and the serial tail is still tiny vs extract
+    # Loop/relocalization verification PnP threshold. Deliberately wider
+    # than the frame-to-frame pnp_threshold_px: the candidate keyframe's
+    # stored cloud and the entry frame's pixels are separated by the very
+    # drift the loop exists to measure (depth-scale drift alone puts true
+    # inliers in the 4-12 px residual band on the drift fixture), so a
+    # tracking-grade threshold vetoes exactly the correcting loops. Safety
+    # comes from consensus, not tightness: Hamming cross-check + F-RANSAC
+    # pre-filter + the >=loop_min_inliers PnP gate + the apply-side
+    # correction-magnitude gate.
+    loop_pnp_threshold_px: float = 12.0
 
 
 @dataclass(frozen=True)

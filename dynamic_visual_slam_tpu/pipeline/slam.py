@@ -104,6 +104,12 @@ class SLAMSystem:
     # vocabularies especially need it)
     loop_geometric_check: bool = True
     loop_min_inliers: int = 30
+    # BoW retrieval depth for loop/reloc queries. Deeper than the classic
+    # top-3 because the ranking is dominated by the entry's own recent
+    # neighbours (gap < loop_min_gap, filtered out below) — on a revisit
+    # the true old-orbit match often sits at rank 4-8, and stopping at 3
+    # creates revisit windows where no loop is ever even verified.
+    loop_top_k: int = 8
     # Feed BA pose refinements back into the live tracker: the newest
     # window keyframe's correction T_new∘T_old⁻¹ left-composes onto the
     # tracker pose (the reference never closes this loop — its frontend
@@ -575,10 +581,10 @@ class SLAMSystem:
                 self._store_kf(slot, d, u, x, po)
             self._kf_descs = []
             return
-        res = self._bow_db.query(jnp.asarray(desc), top_k=3)
+        res = self._bow_db.query(jnp.asarray(desc), top_k=self.loop_top_k)
         entry = self._bow_db.add(jnp.asarray(desc))
         entry_seq = self._store_kf(entry, desc, uv, xyz, pose)
-        for i in range(3):
+        for i in range(self.loop_top_k):
             if not bool(res.valid[i]):
                 continue
             cand, score = int(res.entry_ids[i]), float(res.scores[i])
@@ -660,7 +666,7 @@ class SLAMSystem:
                 pnp = ransac.pnp_ransac(
                     k_intr, xyz2[res.train_idx], uv1, fm_ok, k2,
                     n_hyp=cfg.ransac.pnp_iterations,
-                    threshold=cfg.ransac.pnp_threshold_px,
+                    threshold=cfg.ransac.loop_pnp_threshold_px,
                     min_inliers=cfg.ransac.min_pnp_matches,
                     refine_iters=cfg.ransac.refine_iterations)
                 q_pnp_wc, t_pnp_wc = lie.se3_inverse(pnp.q, pnp.t)
@@ -680,8 +686,8 @@ class SLAMSystem:
         desc = np.asarray(kf.desc_bits)[np.asarray(kf.mask)]
         if len(desc) < self.reloc_min_features:
             return
-        res = self._bow_db.query(jnp.asarray(desc), top_k=3)
-        for i in range(3):
+        res = self._bow_db.query(jnp.asarray(desc), top_k=self.loop_top_k)
+        for i in range(self.loop_top_k):
             if not bool(res.valid[i]):
                 continue
             cand, score = int(res.entry_ids[i]), float(res.scores[i])

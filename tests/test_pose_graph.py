@@ -117,6 +117,12 @@ def test_pgo_loop_consumption_corrects_drift():
         camera=cam,
         keyframe=dataclasses.replace(base.keyframe, max_frames_between_kf=6),
         ba=dataclasses.replace(base.ba, period_s=1.0),
+        # widened depth gate: the injected 1.4x depth-scale drift pushes the
+        # scene (raw 1.8-3.6 m) past the production 3.0 m gate, starving the
+        # tracker of features at the orbit tail — chaotic-noise ATE that no
+        # loop correction can fix by construction. 6 m keeps the fixture a
+        # pure drift-correction test.
+        depth=dataclasses.replace(base.depth, max_depth=6.0),
         map=MapConfig(max_landmarks=1024, max_keyframes=8,
                       max_obs_per_landmark=6, max_obs_per_keyframe=256))
     n_orbit, drift = 100, 0.40
