@@ -42,16 +42,44 @@ class MovingObject:
     The rectangle lives on the plane world-z = `z` (in front of the static
     planes, so it occludes them), is corner-rich (same multi-scale texture as
     the walls, offset to distinct content), and translates at `velocity` m/s
-    in world x/y."""
+    in world x/y.
+
+    Harder-dynamics knobs (real people don't translate at constant depth,
+    backend.cpp:746-751's whole reason to exist):
+    - `vz`: world-z velocity — an approaching/receding walker whose image
+      footprint CHANGES SCALE over the run (negative = toward the camera);
+    - `stop_go`: (period_s, duty) — the walker moves only during the first
+      `duty` fraction of every period, freezing in between (a stationary
+      'dynamic' object is the classic culling blind spot: zero flow, but it
+      will move again and poison any landmark triangulated on it);
+    - mutual occlusion needs no knob: objects render depth-sorted, so two
+      walkers on crossing paths at different z occlude each other exactly.
+    """
 
     z: float = 1.2                       # inside the 0.3–3.0 m depth gate
     center0: Tuple[float, float] = (-0.75, 0.05)   # world (x, y) at t=0
     velocity: Tuple[float, float] = (0.35, 0.0)    # m/s
     half_size: Tuple[float, float] = (0.16, 0.30)  # metres (person-shaped)
     tex_id: int = 11                     # texture-content offset
+    vz: float = 0.0                      # m/s along world z
+    stop_go: Tuple[float, float] = None  # (period_s, duty in (0, 1])
+
+    def travel_time(self, t_s: float) -> float:
+        """Effective motion time: identity without stop_go; with it, the
+        piecewise-linear time warp that freezes the object outside the
+        'go' window of each period."""
+        if self.stop_go is None:
+            return t_s
+        period, duty = self.stop_go
+        go = period * duty
+        return float(np.floor(t_s / period) * go + min(t_s % period, go))
 
     def center(self, t_s: float) -> np.ndarray:
-        return np.asarray(self.center0) + np.asarray(self.velocity) * t_s
+        tau = self.travel_time(t_s)
+        return np.asarray(self.center0) + np.asarray(self.velocity) * tau
+
+    def z_at(self, t_s: float) -> float:
+        return self.z + self.vz * self.travel_time(t_s)
 
 
 @dataclass
@@ -71,10 +99,39 @@ class SyntheticScene:
     texture_px_per_m: float = 220.0
     texture_extent_m: float = 14.0
     objects: Tuple[MovingObject, ...] = ()
+    # Perceptual-aliasing mode (tile_px > 0): the texture becomes a random
+    # ARRANGEMENT of a small library of distinct corner-rich tiles.  Any
+    # two views over such a surface share the same visual-word CONTENT
+    # (same tiles → same ORB descriptors → high BoW similarity) while their
+    # spatial arrangement differs — the repeated-texture corridor that
+    # makes place recognition surface FALSE loop candidates which only
+    # geometric verification can reject (tests/test_false_loop.py).
+    tile_px: int = 0
+    tile_library: int = 10
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
         n = int(self.texture_extent_m * self.texture_px_per_m)
+        if self.tile_px > 0:
+            tp = self.tile_px
+            tiles = []
+            for _ in range(self.tile_library):
+                t = rng.uniform(0, 70, (tp, tp)).astype(np.float32)
+                for _ in range(10):
+                    y, x = rng.integers(0, tp - 6, 2)
+                    s = int(rng.integers(4, min(18, tp - max(y, x))))
+                    t[y:y + s, x:x + s] += float(rng.uniform(-70, 100))
+                tiles.append(np.clip(t, 0, 255))
+            g = n // tp + 1
+            grid = rng.integers(0, self.tile_library, (g, g))
+            tex = np.zeros((g * tp, g * tp), np.float32)
+            for gy in range(g):
+                for gx in range(g):
+                    tex[gy * tp:(gy + 1) * tp,
+                        gx * tp:(gx + 1) * tp] = tiles[grid[gy, gx]]
+            self._tex = tex[:n, :n]
+            self._n = n
+            return
         # multi-scale value noise → corner-rich, locally distinctive texture
         tex = rng.uniform(0, 52, (n, n)).astype(np.float32)
         for scale, amp in ((11, 55.0), (31, 70.0), (101, 45.0)):
@@ -134,8 +191,9 @@ class SyntheticScene:
             best_s = np.where(valid, s, best_s)
         for obj in self.objects:
             cx_o, cy_o = obj.center(t_s)
+            z_o = obj.z_at(t_s)
             dz = dw[..., 2]
-            s = np.where(np.abs(dz) > 1e-9, (obj.z - t_wc[2]) / dz, np.inf)
+            s = np.where(np.abs(dz) > 1e-9, (z_o - t_wc[2]) / dz, np.inf)
             px = t_wc[0] + s * dw[..., 0]
             py = t_wc[1] + s * dw[..., 1]
             hit = ((s > 0.05) & (np.abs(px - cx_o) <= obj.half_size[0])
@@ -160,11 +218,12 @@ class SyntheticScene:
         out = []
         for obj in self.objects:
             cx_o, cy_o = obj.center(t_s)
+            z_o = obj.z_at(t_s)
             hx, hy = obj.half_size
-            corners = np.array([[cx_o - hx, cy_o - hy, obj.z],
-                                [cx_o + hx, cy_o - hy, obj.z],
-                                [cx_o - hx, cy_o + hy, obj.z],
-                                [cx_o + hx, cy_o + hy, obj.z]])
+            corners = np.array([[cx_o - hx, cy_o - hy, z_o],
+                                [cx_o + hx, cy_o - hy, z_o],
+                                [cx_o - hx, cy_o + hy, z_o],
+                                [cx_o + hx, cy_o + hy, z_o]])
             xc = (corners - t_wc) @ r_cw.T
             if np.any(xc[:, 2] <= 0.05):
                 continue
@@ -236,6 +295,34 @@ def default_walkers(n_frames: int, n: int = 2) -> Tuple[MovingObject, ...]:
     return tuple(objs)
 
 
+def hard_walkers(n_frames: int) -> Tuple[MovingObject, ...]:
+    """Out-of-distribution walker set (VERDICT r3 weak #6 / next #6): the
+    behaviors real people exhibit that the constant-z training family
+    (default_walkers / semantic.train's randomized variants) deliberately
+    does NOT cover —
+
+    - walker 0 APPROACHES the camera (vz < 0): its image footprint grows
+      ~2x over the run (scale change, the classic detector OOD axis);
+    - walker 1 runs STOP-AND-GO (1.6 s period, 50 % duty): repeated
+      zero-flow stretches where motion gating would pass it as static;
+    - walkers 1 and 2 cross paths at different z: MUTUAL OCCLUSION — the
+      nearer one periodically erases the farther one's features.
+
+    Speeds stay in the 1-2 px/frame poisoning regime (default_walkers
+    docstring) so culling, not RANSAC, must do the protecting."""
+    return (
+        MovingObject(z=2.1, vz=-0.12, center0=(-0.35, 0.0),
+                     velocity=(0.12, 0.01), half_size=(0.20, 0.34),
+                     tex_id=11),
+        MovingObject(z=1.35, center0=(0.55, -0.05),
+                     velocity=(-0.22, 0.015), stop_go=(1.6, 0.5),
+                     half_size=(0.24, 0.40), tex_id=14),
+        MovingObject(z=1.05, center0=(-0.55, 0.10),
+                     velocity=(0.18, -0.012), half_size=(0.18, 0.32),
+                     tex_id=17),
+    )
+
+
 def loop_trajectory(n_frames: int, radius: float = 0.35
                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Deterministic closed orbit that RETURNS TO THE START: one smooth
@@ -266,7 +353,8 @@ def walker_swept_hits(xyz: np.ndarray, objects: Tuple[MovingObject, ...],
     for o in objects:
         xs = [o.center(0.0)[0], o.center(duration_s)[0]]
         ys = [o.center(0.0)[1], o.center(duration_s)[1]]
-        hit |= ((np.abs(xyz[:, 2] - o.z) < 0.08)
+        zs = [o.z_at(0.0), o.z_at(duration_s)]
+        hit |= ((xyz[:, 2] > min(zs) - 0.08) & (xyz[:, 2] < max(zs) + 0.08)
                 & (xyz[:, 0] > min(xs) - o.half_size[0])
                 & (xyz[:, 0] < max(xs) + o.half_size[0])
                 & (xyz[:, 1] > min(ys) - o.half_size[1])

@@ -67,10 +67,17 @@ class SLAMFleet:
     keyframe/BA processing are one jitted SPMD program each.
     """
 
-    def __init__(self, cfg: SLAMConfig, batch: int, mesh: Optional[Mesh] = None):
+    def __init__(self, cfg: SLAMConfig, batch: int,
+                 mesh: Optional[Mesh] = None,
+                 kf_slots: Optional[int] = None):
         self.cfg = cfg
         self.batch = batch
         self.mesh = mesh or make_mesh()
+        # keyframe-insert slots per step_batch microbatch (None → ceil(T/4)+2
+        # at trace time — ~5x the reference's ~1/20-frame keyframe cadence).
+        # Raise (up to T) for degenerate configs whose keyframe policy fires
+        # every frame, e.g. payload caps below min_matches_to_last_kf.
+        self.kf_slots = kf_slots
         k = Intrinsics.from_config(cfg.camera)
         from dynamic_visual_slam_tpu.semantic.classes import filtered_mask
         filt = filtered_mask(cfg)
@@ -86,16 +93,62 @@ class SLAMFleet:
 
         from dynamic_visual_slam_tpu.frontend import orb
 
+        n_mesh = int(self.mesh.size)
+        shard_ok = batch % n_mesh == 0
+
         def extract_streams(grays):
             # ONE batched Pallas extraction across the whole fleet (a single
             # score-atlas call + a single descriptor call for all streams —
             # orb.extract_batch; replaced the lax.map-over-streams version,
-            # which serialized ~3 ms/stream of kernel latency per step). On
-            # non-TPU backends extract_batch falls back to vmapped XLA ops.
-            # Multi-chip note: a dp-sharded mesh would need this under
-            # shard_map so each chip builds its local shard's atlas; the
-            # one-real-chip serving shape and the CPU dryrun don't.
-            return orb.extract_batch(grays, cfg.orb)
+            # which serialized ~3 ms/stream of kernel latency per step).
+            # Under a multi-device dp mesh the call runs inside shard_map so
+            # EACH DEVICE builds its local shard's score atlas / descriptor
+            # batch (grid programs don't batch across devices on their own);
+            # the same wrapper runs on the one-real-chip serving shape and
+            # the CPU dryrun (where extract_batch falls back to vmapped XLA
+            # ops), so the partitioning logic is always exercised.
+            if not shard_ok:
+                return orb.extract_batch(grays, cfg.orb)
+            # check_vma=False: pallas_call outputs carry no vma annotation
+            return jax.shard_map(
+                lambda g: orb.extract_batch(g, cfg.orb),
+                mesh=self.mesh, in_specs=P("dp"), out_specs=P("dp"),
+                check_vma=False)(grays)
+
+        def extract_fleet_tb(grays_tb):
+            # (T, B, H, W) → Keypoints with leaves (T, B, ...): one
+            # extraction dispatch for the WHOLE microbatch (T×B frames).
+            # Sharded over streams; time stays local to each device, so the
+            # per-device batch is T×(B/n) frames — grid-step sequencing
+            # amortizes over the full microbatch instead of per scan step.
+            t_dim, b_dim = grays_tb.shape[0], grays_tb.shape[1]
+
+            def local(g):
+                tl, bl = g.shape[0], g.shape[1]
+                n = tl * bl
+                flat = g.reshape((n,) + g.shape[2:])
+                # chunk the Pallas dispatches: one atlas over ALL n frames
+                # overflows SMEM at 720p (the grid's scalar metadata scales
+                # with batch — measured 3 MB vs the 1 MB budget at n=192),
+                # so lax.map runs extract_batch at the proven ~24-frame
+                # size; chunks sequence device-side with no host gaps
+                cs = next(c for c in range(min(n, 24), 0, -1) if n % c == 0)
+                chunks = flat.reshape((n // cs, cs) + flat.shape[1:])
+                kps = jax.lax.map(
+                    lambda ch: orb.extract_batch(ch, cfg.orb), chunks)
+                return jax.tree_util.tree_map(
+                    lambda a: a.reshape((tl, bl) + a.shape[2:]), kps)
+
+            if not shard_ok:
+                return local(grays_tb)
+            return jax.shard_map(local, mesh=self.mesh,
+                                 in_specs=P(None, "dp"),
+                                 out_specs=P(None, "dp"),
+                                 check_vma=False)(grays_tb)
+
+        # exposed for the shard-shape test (tests/test_parallel.py): the
+        # fleet extraction IS the shard_map program batch_step embeds
+        self._extract_fleet_tb = jax.jit(extract_fleet_tb)
 
         def one_ba(mstate, now):
             new_state, res = ba_mod.run_ba(cfg, k, mstate)
@@ -114,27 +167,85 @@ class SLAMFleet:
         self._ba = jax.jit(jax.vmap(one_ba, in_axes=(0, None)),
                            donate_argnums=(0,))
 
+        def track_only_v(tstate, gray, depth, ts, det, kps):
+            tstate, out = tracker.track_step(cfg, tstate, gray, depth, ts,
+                                             det=det, filtered=filt, kps=kps)
+            return tstate, out
+        track_only_v = jax.vmap(track_only_v)
+
         def batch_step(tstates, mstates, grays, depths, stamps, dets):
-            """Scan T frames through all B streams in ONE dispatch — the
-            fleet analogue of SLAMSystem.process_batch (pipeline/slam.py):
-            per-dispatch RPC/launch overhead amortizes over T×B frames.
-            Returns (T, B, 10) packed telemetry
-            [q_wc(4), t_wc(3), tracking_ok, is_keyframe, n_inliers]."""
-            def body(carry, x):
-                ts_, ms_ = carry
+            """T frames × B streams in ONE dispatch — the fleet analogue of
+            SLAMSystem.process_batch (pipeline/slam.py), restructured for
+            throughput (VERDICT r3 next #1; the r3 formulation ran the
+            full track step + a masked keyframe insert inside EVERY scan
+            step — measured 5.3 ms/step of insert+where for ~1/20-frame
+            keyframes, profile_fleet.py stage E):
+
+            - tracking: per-scan-step vmapped track_step over streams.
+              (A (B,T)-batched track_batch variant was measured SLOWER —
+              56 vs 44 ms/step — because batching the pair stages across
+              T×B materializes (T,B,1024,1024) match intermediates and
+              vmap turns the anchor-recompute lax.cond into both-branch
+              selects; the per-step formulation keeps intermediates at
+              (B,1024,1024) and is what ships);
+            - keyframe inserts: DEFERRED — each stream's flagged frames
+              are gathered into K = ceil(T/4)+2 slots and applied in a
+              K-step scan of vmapped masked inserts instead of T of them.
+              Flags beyond K in one microbatch are DROPPED (the bounded-
+              queue drop-oldest analogue); the (B,) drop count is returned
+              so the host can account for it (stats()[
+              "keyframes_dropped"]) — at the reference keyframe cadence
+              (~1/20 frames, frontend.cpp:651-655) K slots never fill.
+
+            Returns (tstates, mstates, telems (T,B,10), dropped (B,))."""
+            t_dim = stamps.shape[0]
+
+            def body(ts_, x):
                 g, d, s, de = x
                 kps = extract_streams(g)
-                ts_, ms_, out = one_step_v(ts_, ms_, g, d, s, de, kps)
-                telem = jnp.concatenate([
-                    out.q_wc, out.t_wc,
-                    jnp.stack([out.tracking_ok.astype(jnp.float32),
-                               out.is_keyframe.astype(jnp.float32),
-                               out.n_inliers.astype(jnp.float32)], axis=-1)],
-                    axis=-1)
-                return (ts_, ms_), telem
-            (tstates, mstates), telems = jax.lax.scan(
-                body, (tstates, mstates), (grays, depths, stamps, dets))
-            return tstates, mstates, telems
+                ts_, out = track_only_v(ts_, g, d, s, de, kps)
+                return ts_, out
+            tstates, outs = jax.lax.scan(
+                body, tstates, (grays, depths, stamps, dets))
+            # outs leaves are (T, B, ...)
+
+            k_slots = min(t_dim, self.kf_slots or (t_dim // 4 + 2))
+            flags = jnp.swapaxes(outs.is_keyframe, 0, 1)      # (B, T)
+            order = jnp.argsort(jnp.where(flags, 0, 1), axis=1,
+                                stable=True)[:, :k_slots]     # (B, K)
+            valid = jnp.take_along_axis(flags, order, axis=1)  # (B, K)
+            dropped = jnp.maximum(
+                jnp.sum(flags.astype(jnp.int32), axis=1) - k_slots, 0)
+
+            def gather_kb(tree_tb):
+                # leaves (T, B, ...) → (K, B, ...): per stream b, slot k
+                # picks frame order[b, k]
+                return jax.tree_util.tree_map(
+                    lambda a: jax.vmap(
+                        lambda at, ib: at[ib],
+                        in_axes=(1, 0), out_axes=1)(a, order), tree_tb)
+            kfs_kb = gather_kb(outs.keyframe)
+            dets_kb = gather_kb(dets)
+
+            def insert_body(ms_, x):
+                kf_k, det_k, val_k = x
+                ms2 = jax.vmap(lambda m, kf, de: mapping.insert_keyframe(
+                    cfg, m, kf, de, filt)[0])(ms_, kf_k, det_k)
+                ms_ = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(
+                        val_k.reshape(val_k.shape + (1,) * (a.ndim - 1)),
+                        b, a), ms_, ms2)
+                return ms_, None
+            mstates, _ = jax.lax.scan(
+                insert_body, mstates, (kfs_kb, dets_kb, valid.T))
+
+            telems = jnp.concatenate([
+                outs.q_wc, outs.t_wc,
+                jnp.stack([outs.tracking_ok.astype(jnp.float32),
+                           outs.is_keyframe.astype(jnp.float32),
+                           outs.n_inliers.astype(jnp.float32)],
+                          axis=-1)], axis=-1)                 # (T, B, 10)
+            return tstates, mstates, telems, dropped
 
         self._batch_step = jax.jit(batch_step, donate_argnums=(0, 1))
 
@@ -155,6 +266,9 @@ class SLAMFleet:
         self._last_ba_t: Optional[float] = None
         self.ba_runs = 0
         self._ba_costs = None
+        # keyframes dropped by step_batch's K-slot insert cap (per stream;
+        # device-accumulated, surfaced by stats())
+        self._dropped_kf = jnp.zeros(batch, jnp.int32)
 
     def step(self, grays: jnp.ndarray, depths: jnp.ndarray,
              stamps: jnp.ndarray,
@@ -209,9 +323,10 @@ class SLAMFleet:
         grays, depths, stamps, detections = (
             jax.tree_util.tree_map(place, x)
             for x in (grays, depths, stamps, detections))
-        self.tracker_states, self.map_states, telems = self._batch_step(
-            self.tracker_states, self.map_states, grays, depths, stamps,
-            detections)
+        self.tracker_states, self.map_states, telems, dropped = \
+            self._batch_step(self.tracker_states, self.map_states, grays,
+                             depths, stamps, detections)
+        self._dropped_kf = self._dropped_kf + dropped
         if auto_ba:
             if self._last_ba_t is None:
                 self._last_ba_t = now
@@ -223,13 +338,14 @@ class SLAMFleet:
     def stats(self) -> dict:
         """Per-stream observability (ONE device_get): keyframe counts,
         active landmarks, BA rounds and the last per-stream final costs."""
-        kf_counts, lm_active = jax.device_get((
+        kf_counts, lm_active, dropped = jax.device_get((
             self.map_states.keyframes.count,
             jnp.sum(self.map_states.landmarks.active.astype(jnp.int32),
-                    axis=-1)))
+                    axis=-1), self._dropped_kf))
         out = dict(streams=self.batch, ba_runs=self.ba_runs,
                    keyframes=kf_counts.tolist(),
-                   landmarks_active=lm_active.tolist())
+                   landmarks_active=lm_active.tolist(),
+                   keyframes_dropped=dropped.tolist())
         if self._ba_costs is not None:
             out["last_ba_costs"] = np.asarray(
                 jax.device_get(self._ba_costs)).tolist()

@@ -269,7 +269,14 @@ class QueryResult(NamedTuple):
 @dataclass
 class Database:
     """Fixed-capacity BoW database (OrbDatabase add/query surface,
-    test_dbow2_integration.cpp:103-125)."""
+    test_dbow2_integration.cpp:103-125).
+
+    The transform/add/score paths are JITTED (one compiled program per
+    call instead of ~dozens of eagerly-dispatched ops — on a tunneled TPU
+    the eager chain cost ~100x the device time and collapsed the shipped-
+    defaults pipeline to single-digit FPS, BENCH r4 first run). The
+    vocabulary's dense level tables are closed over as compile-time
+    constants; per-(shape, top_k) executables cache on the instance."""
 
     vocabulary: Vocabulary
     capacity: int = 1024
@@ -282,16 +289,35 @@ class Database:
             self.vectors = jnp.zeros((self.capacity,
                                       self.vocabulary.n_words), jnp.float32)
             self.used = jnp.zeros(self.capacity, bool)
+        voc = self.vocabulary
+        self._transform_fn = jax.jit(
+            lambda d, m: voc.transform(d, m))
+        self._add_fn = jax.jit(
+            lambda vec, used, v, slot: (vec.at[slot].set(v),
+                                        used.at[slot].set(True)),
+            donate_argnums=(0, 1))
+        self._query_fns = {}
+
+    def _query_fn(self, top_k: int):
+        fn = self._query_fns.get(top_k)
+        if fn is None:
+            def q(vectors, used, v):
+                scores = l1_score(vectors, v[None, :])
+                scores = jnp.where(used, scores, -1.0)
+                vals, idx = jax.lax.top_k(scores, top_k)
+                return idx.astype(jnp.int32), vals
+            fn = self._query_fns[top_k] = jax.jit(q)
+        return fn
 
     def add(self, desc_bits: jnp.ndarray, mask: Optional[jnp.ndarray] = None
             ) -> int:
         """Add a keyframe's descriptors; returns its entry id."""
         if mask is None:
             mask = jnp.ones(desc_bits.shape[0], bool)
-        v = self.vocabulary.transform(desc_bits, mask)
+        v = self._transform_fn(desc_bits, mask)
         slot = self.count % self.capacity
-        self.vectors = self.vectors.at[slot].set(v)
-        self.used = self.used.at[slot].set(True)
+        self.vectors, self.used = self._add_fn(
+            self.vectors, self.used, v, jnp.asarray(slot, jnp.int32))
         self.count += 1
         return slot
 
@@ -299,8 +325,6 @@ class Database:
               top_k: int = 5) -> QueryResult:
         if mask is None:
             mask = jnp.ones(desc_bits.shape[0], bool)
-        v = self.vocabulary.transform(desc_bits, mask)
-        scores = l1_score(self.vectors, v[None, :])
-        scores = jnp.where(self.used, scores, -1.0)
-        vals, idx = jax.lax.top_k(scores, top_k)
-        return QueryResult(idx.astype(jnp.int32), vals, vals >= 0)
+        v = self._transform_fn(desc_bits, mask)
+        idx, vals = self._query_fn(top_k)(self.vectors, self.used, v)
+        return QueryResult(idx, vals, vals >= 0)

@@ -387,6 +387,7 @@ def in_loop_eval(params: Dict[str, Any], n_frames: int = 180, seed: int = 0,
                  width: int = 320, height: int = 240,
                  conditions: Tuple[str, ...] = ("off", "gt", "learned"),
                  semantic_overrides: Optional[Dict[str, Any]] = None,
+                 objects=None,
                  verbose: bool = True) -> Dict[str, Dict[str, float]]:
     """Detector-in-the-loop efficacy: run the SAME dynamic walker sequence
     with culling OFF, with GT bboxes, and with the LEARNED detector, and
@@ -396,7 +397,12 @@ def in_loop_eval(params: Dict[str, Any], n_frames: int = 180, seed: int = 0,
     map the way the reference's external pretrained YOLO does
     (backend.cpp:746-751, 1011-1029): 'learned' should land near 'gt'
     (both materially better than 'off') on ATE and on confirmed landmarks
-    inside the walkers' swept volume."""
+    inside the walkers' swept volume.
+
+    `objects` overrides the walker set — pass synthetic.hard_walkers(n)
+    for the OUT-OF-DISTRIBUTION eval (approach/recede scale change,
+    stop-and-go, mutual occlusion; behaviors the training family
+    _random_walkers deliberately does not generate)."""
     from dynamic_visual_slam_tpu.config import SLAMConfig
     from dynamic_visual_slam_tpu.io.trajectory import ate_rmse
     from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
@@ -412,10 +418,11 @@ def in_loop_eval(params: Dict[str, Any], n_frames: int = 180, seed: int = 0,
     if semantic_overrides:
         cfg = cfg.replace(semantic=_dc.replace(cfg.semantic,
                                                **semantic_overrides))
+    objs = objects if objects is not None \
+        else synthetic.default_walkers(n_frames)
     frames = list(synthetic.generate_dynamic_sequence(
-        cam, n_frames, seed=seed, depth_noise=0.004))
+        cam, n_frames, seed=seed, objects=objs, depth_noise=0.004))
     gt_t = np.stack([f[3] for f in frames])
-    objs = synthetic.default_walkers(n_frames)
     dur = n_frames / 30.0
 
     detector = None

@@ -1,12 +1,17 @@
-"""Decompose the SLAMFleet.step_batch scan-step cost on the real chip.
+"""Decompose the SLAMFleet.step_batch cost on the real chip.
 
-Times, per scan step over B streams (720p, default config):
-  A. full batch_step (extract lax.map + vmapped track + vmapped masked insert)
-  B. track-only variant (no insert)
-  C. extraction only (lax.map over streams)
+Times, normalized per scan step over B streams (720p, default config):
+  A. full batch_step — the SHIPPED pipeline (one extract_fleet_tb dispatch
+     over T×B frames + vmapped track_batch over streams + deferred K-slot
+     keyframe inserts)
+  B. OLD-style track-only scan (full vmapped track_step per scan step) —
+     kept as the r3 baseline the redesign is measured against
+  C. OLD-style extraction per scan step (extract_batch over B per step)
   D. vmapped insert alone (on a fixed KeyframeBlock)
+  E. vmapped insert + masked where-select (the old per-frame insert cost)
+  F. extract_fleet_tb: T×B-frame extraction in ONE dispatch
 so the fleet bench number (bench.py _fleet_bench) is attributable stage by
-stage. Run: python scripts/profile_fleet.py [B] [T]
+stage (docs/PERF.md quotes these). Run: python scripts/profile_fleet.py [B] [T]
 """
 import sys
 import time
@@ -120,8 +125,9 @@ timeit("C extract-only scan", extract_scan, gs)
 
 # --- D. vmapped insert, T reps ---
 tstates2 = fleet.tracker_states
+det0 = jax.tree_util.tree_map(lambda x: x[0], dets)   # time-slice the tree
 kps0 = extract_streams(gs[0])
-_, out0 = jax.jit(track_v)(tstates2, gs[0], ds[0], tss[0], dets[0], kps0)
+_, out0 = jax.jit(track_v)(tstates2, gs[0], ds[0], tss[0], det0, kps0)
 kf0 = out0.keyframe
 jax.block_until_ready(kf0.uv)
 
@@ -141,7 +147,7 @@ def insert_scan(ms_, kf, det):
     return jax.lax.scan(body, ms_, None, length=T)[0]
 
 
-timeit("D vmapped insert scan", insert_scan, fleet.map_states, kf0, dets[0])
+timeit("D vmapped insert scan", insert_scan, fleet.map_states, kf0, det0)
 
 
 # --- E. vmapped insert + masked where-select of map state, T reps ---
@@ -157,5 +163,10 @@ def select_scan(ms_, kf, det, mask):
     return jax.lax.scan(body, ms_, None, length=T)[0]
 
 
-timeit("E insert+where scan", select_scan, fleet.map_states, kf0, dets[0],
+timeit("E insert+where scan", select_scan, fleet.map_states, kf0, det0,
        out0.is_keyframe)
+
+# --- F. fleet-wide extraction in ONE dispatch (T*B frames) — the
+# extraction stage batch_step actually embeds (A minus F minus the insert
+# scan is the vmapped-track_batch residue) ---
+timeit("F extract_fleet_tb", jax.jit(fleet._extract_fleet_tb), gs)
