@@ -350,15 +350,21 @@ def walker_swept_hits(xyz: np.ndarray, objects: Tuple[MovingObject, ...],
     prevent (backend.cpp:746-751)."""
     xyz = np.asarray(xyz).reshape(-1, 3)
     hit = np.zeros(len(xyz), bool)
+    # TIME-SAMPLED union of the walker's instantaneous boxes, not the
+    # bounding box of its whole excursion: a z-moving walker's excursion
+    # box is the (x-band × z-range) PRODUCT, which contains x/z
+    # combinations the walker never occupied — for hard_walkers'
+    # approaching walker that product overlaps a static wall plane and
+    # falsely flags genuine wall landmarks. The union tube is exact for
+    # constant-z walkers (reduces to the old slab) and tight otherwise.
+    ts = np.arange(0.0, duration_s + 1e-6, 0.1)
     for o in objects:
-        xs = [o.center(0.0)[0], o.center(duration_s)[0]]
-        ys = [o.center(0.0)[1], o.center(duration_s)[1]]
-        zs = [o.z_at(0.0), o.z_at(duration_s)]
-        hit |= ((xyz[:, 2] > min(zs) - 0.08) & (xyz[:, 2] < max(zs) + 0.08)
-                & (xyz[:, 0] > min(xs) - o.half_size[0])
-                & (xyz[:, 0] < max(xs) + o.half_size[0])
-                & (xyz[:, 1] > min(ys) - o.half_size[1])
-                & (xyz[:, 1] < max(ys) + o.half_size[1]))
+        cs = np.stack([o.center(t) for t in ts])            # (T, 2)
+        zs = np.asarray([o.z_at(t) for t in ts])            # (T,)
+        inx = np.abs(xyz[:, None, 0] - cs[None, :, 0]) <= o.half_size[0]
+        iny = np.abs(xyz[:, None, 1] - cs[None, :, 1]) <= o.half_size[1]
+        inz = np.abs(xyz[:, None, 2] - zs[None, :]) < 0.08
+        hit |= np.any(inx & iny & inz, axis=1)
     return hit
 
 
