@@ -247,8 +247,13 @@ class SemanticConfig:
     # ~1-2 px/frame, far less than the dilation slack), which is what
     # closes the gap between a recall<1 learned detector and ground truth
     # in the end-to-end culling proof (semantic/train.in_loop_eval).
+    # persist=5: the r4 override sweep (PARITY_RESULTS.md) measured
+    # confirmed walker landmarks 41 → 0 going 3 → 5 at margin 0.15 (the
+    # r3 optimum of 3 no longer held after the extraction-selection
+    # changes shifted which walker keypoints survive); 6-8 frames only
+    # add over-culling keyframe pressure (71 → 95 keyframes).
     box_margin: float = 0.15
-    persist_frames: int = 3
+    persist_frames: int = 5
     # id used when no bbox contains the pixel (backend.cpp:1028)
     unlabeled_category: str = "unlabeled"
 

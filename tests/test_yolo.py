@@ -93,7 +93,12 @@ class TestDetectorWrapper:
         dilated by margin × size and keeps being served for persist_frames
         frames after the detector last saw it — the recall<1 leak guard
         the in-loop efficacy eval depends on."""
-        cfg = SLAMConfig()   # box_margin=0.15, persist_frames=3
+        import dataclasses as _dc
+        base = SLAMConfig()
+        # pin the persistence horizon: this test checks the MECHANISM
+        # (serve + age-out), not the shipped default (5 as of r4)
+        cfg = base.replace(semantic=_dc.replace(base.semantic,
+                                                persist_frames=3))
         cap = cfg.semantic.max_detections
 
         class _Shim:         # _postprocess only reads .cfg and ._recent
