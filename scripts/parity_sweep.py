@@ -34,12 +34,30 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
-    from dynamic_visual_slam_tpu.cli import _parity_once
+    import dataclasses as dc
+
     from dynamic_visual_slam_tpu.config import SLAMConfig
-    from dynamic_visual_slam_tpu.io import synthetic
+    from dynamic_visual_slam_tpu.io import synthetic, trajectory
+    from dynamic_visual_slam_tpu.oracle.pipeline_cpu import OracleSLAM
+    from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
 
     import jax
     platform = jax.devices()[0].platform
+
+    def run_tpu(cfg, frames):
+        slam = SLAMSystem(cfg, enable_place_recognition=False)
+        for gray, depth, _, _, ts in frames:
+            slam.process(gray, depth, ts)
+        slam.finalize()
+        _, _, t = slam.frontend_trajectory()
+        return t, slam.stats["keyframes"]
+
+    def run_oracle(cfg, frames):
+        orc = OracleSLAM(cfg, run_ba=True)
+        for gray, depth, _, _, ts in frames:
+            orc.process(gray, depth, ts)
+        _, _, t = orc.frontend_trajectory()
+        return t, len(orc.keyframes), orc.ba_rounds
 
     frame_counts = [120, 240] if args.quick else [120, 240, 480]
     resolutions = [(424, 240)] if args.quick else [(424, 240), (640, 480)]
@@ -53,30 +71,41 @@ def main() -> int:
         base = SLAMConfig()
         cam = base.camera.scaled(w, h)
         for n_frames in frame_counts:
-            # render once per (res, frames, seed); share across both modes
-            frames_by_seed = {}
+            # render once per (res, frames, seed); the ORACLE is the
+            # reference frame-to-frame algorithm and does not depend on
+            # the TPU-side tracking mode, so it runs ONCE per seed and is
+            # shared by both mode cells (it dominates the sweep cost)
+            cell_runs = {m: [] for m in modes}
             for seed in seeds:
-                frames_by_seed[seed] = list(synthetic.generate_sequence(
+                frames = list(synthetic.generate_sequence(
                     cam, n_frames, seed=seed, depth_noise=0.004))
-            for mode in modes:
-                cfg = base.replace(
-                    camera=cam,
-                    tracking=dataclasses.replace(
+                gt_t = np.stack([f[3] for f in frames])
+                cfg0 = base.replace(camera=cam)
+                orc_t, orc_kf, orc_ba = run_oracle(cfg0, frames)
+                orc_ate = float(trajectory.ate_rmse(orc_t, gt_t))
+                for mode in modes:
+                    cfg = cfg0.replace(tracking=dc.replace(
                         base.tracking,
                         anchor_to_keyframe=(mode == "anchored")))
-                runs = []
-                for seed in seeds:
-                    frames = frames_by_seed[seed]
-                    gt_t = np.stack([f[3] for f in frames])
-                    rep = _parity_once(cfg, frames, gt_t,
-                                       f"synthetic(seed={seed})")
-                    rep["seed"] = seed
-                    runs.append(rep)
+                    tpu_t, tpu_kf = run_tpu(cfg, frames)
+                    tpu_ate = float(trajectory.ate_rmse(tpu_t, gt_t))
+                    rep = dict(
+                        seed=seed, source=f"synthetic(seed={seed})",
+                        frames=n_frames, tpu_keyframes=tpu_kf,
+                        oracle_keyframes=orc_kf, oracle_ba_rounds=orc_ba,
+                        tpu_vs_oracle_ate_m=round(float(
+                            trajectory.ate_rmse(tpu_t, orc_t)), 5),
+                        tpu_ate_m=round(tpu_ate, 5),
+                        oracle_ate_m=round(orc_ate, 5),
+                        ate_ratio=round(tpu_ate / max(orc_ate, 1e-9), 4))
+                    cell_runs[mode].append(rep)
                     print(f"[{time.time() - t_start:7.1f}s] {w}x{h} "
                           f"f={n_frames} {mode} seed={seed}: "
-                          f"tpu={rep.get('tpu_ate_m')} "
-                          f"orc={rep.get('oracle_ate_m')} "
-                          f"ratio={rep.get('ate_ratio')}", flush=True)
+                          f"tpu={rep['tpu_ate_m']} orc={rep['oracle_ate_m']} "
+                          f"ratio={rep['ate_ratio']}", flush=True)
+                del frames
+            for mode in modes:
+                runs = cell_runs[mode]
                 ratios = [r["ate_ratio"] for r in runs]
                 cell = dict(
                     platform=platform, mode=mode, frames=n_frames,
@@ -93,7 +122,6 @@ def main() -> int:
                     args.out, f"cell_f{n_frames}_{w}x{h}_{mode}.json")
                 with open(path, "w") as f:
                     json.dump(cell, f, indent=2)
-            del frames_by_seed
 
     summary = dict(
         platform=platform,
