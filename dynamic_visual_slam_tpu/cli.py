@@ -75,6 +75,11 @@ def cmd_run(args) -> int:
                       vocab_path=vocab or None,
                       enable_relocalization=not getattr(args, "no_reloc",
                                                         False))
+    if slam.enable_place_recognition:
+        # compile the BoW query + loop/reloc verification programs at
+        # startup — otherwise the FIRST mid-stream loop candidate pays
+        # their multi-second trace+compile inside the frame loop
+        slam.warmup_place()
     if getattr(args, "resume", None):
         resume = args.resume
         if not os.path.exists(resume) and os.path.exists(resume + ".npz"):
