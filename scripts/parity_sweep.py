@@ -32,6 +32,10 @@ def main() -> int:
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--out", default="parity_sweep")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--frames-list", type=int, nargs="*", default=None,
+                    help="restrict the frame-count axis (resume/fill runs)")
+    ap.add_argument("--res-list", nargs="*", default=None,
+                    help="restrict resolutions, e.g. 640x480")
     args = ap.parse_args()
 
     import dataclasses as dc
@@ -61,6 +65,11 @@ def main() -> int:
 
     frame_counts = [120, 240] if args.quick else [120, 240, 480]
     resolutions = [(424, 240)] if args.quick else [(424, 240), (640, 480)]
+    if args.frames_list:
+        frame_counts = args.frames_list
+    if args.res_list:
+        resolutions = [tuple(int(v) for v in r.split("x"))
+                       for r in args.res_list]
     modes = ["anchored", "frame2frame"]
     seeds = list(range(2 if args.quick else args.seeds))
 
