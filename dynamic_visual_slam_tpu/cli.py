@@ -87,7 +87,7 @@ def cmd_run(args) -> int:
         print(f"error: vocabulary '{vocab}' not found (train one with "
               "`cli train-vocab`)", file=sys.stderr)
         return 2
-    slam = SLAMSystem(cfg, loop_pgo=getattr(args, "loop_pgo", False),
+    slam = SLAMSystem(cfg, loop_pgo=getattr(args, "loop_pgo", True),
                       vocab_path=vocab or None,
                       enable_relocalization=not getattr(args, "no_reloc",
                                                         False))
@@ -114,6 +114,13 @@ def cmd_run(args) -> int:
               file=sys.stderr)
     timer = profiling.StageTimer()
     tracer = profiling.make_tracer() if args.trace else None
+
+    live = None
+    if getattr(args, "serve", None) is not None:
+        from dynamic_visual_slam_tpu.utils.serve import LiveView
+        live = LiveView(port=args.serve)
+        print(f"live view at http://127.0.0.1:{live.port}/",
+              file=sys.stderr)
 
     if args.source == "synthetic":
         frames = synthetic.generate_sequence(cfg.camera, args.frames,
@@ -157,6 +164,33 @@ def cmd_run(args) -> int:
             return detector(rgb, ts)
         return detector(rgb)
 
+    def _live_update(gray=None, final=False):
+        """Publish a live-view snapshot (annotated frame, stat tiles,
+        top-down map). Each refresh reads the current keypoint block off
+        the device (one sync) — cadence-gated by --serve-every; the
+        landmark cloud refreshes at 1/6 that cadence (a bigger pull)."""
+        if live is None:
+            return
+        uv = None
+        if gray is not None:
+            kp = slam.tracker_state.prev
+            m = np.asarray(kp.mask)
+            uv = np.asarray(kp.uv)[m]
+        st = dict(slam.stats)
+        if slam.trajectory:
+            fr = slam.trajectory[-1]
+            st.update(x=round(float(fr.t_wc[0]), 4),
+                      y=round(float(fr.t_wc[1]), 4),
+                      z=round(float(fr.t_wc[2]), 4),
+                      tracking_ok=bool(fr.tracking_ok))
+        st["fps"] = round(n / max(time.perf_counter() - t_start, 1e-9), 2)
+        traj = np.stack([f.t_wc for f in slam.trajectory]) \
+            if slam.trajectory else None
+        lms = None
+        if final or (n // max(1, args.serve_every)) % 6 == 0:
+            lms = slam.landmarks_world()["xyz"]
+        live.update(gray, uv, st, traj, lms)
+
     if getattr(args, "batch", 0) and not getattr(args, "threaded", False):
         # offline throughput mode: microbatch frames through one device
         # dispatch per batch (pipeline/slam.process_batch); a detector, if
@@ -178,6 +212,7 @@ def cmd_run(args) -> int:
             if len(buf) == b:
                 dets = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs), *det_buf) if det_buf else None
+                last_gray = buf[-1][0]
                 with timer.stage("batch"):
                     slam.process_batch(
                         np.stack([x[0] for x in buf]),
@@ -185,6 +220,7 @@ def cmd_run(args) -> int:
                         np.asarray([x[2] for x in buf]),
                         detections=dets)
                 buf, det_buf = [], []
+                _live_update(last_gray)
         for i, (gray, depth, ts) in enumerate(buf):  # tail < one batch
             det = det_buf[i] if det_buf else None
             slam.process(gray, depth, ts, detections=det)
@@ -239,6 +275,8 @@ def cmd_run(args) -> int:
             if t_gt is not None:
                 gt_map[float(ts)] = t_gt
             n += 1
+            if live is not None and n % max(1, args.serve_every) == 0:
+                _live_update(np.asarray(gray))
         slam.finalize()
         wall = time.perf_counter() - t_start
 
@@ -294,6 +332,14 @@ def cmd_run(args) -> int:
     with open(os.path.join(args.out_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
     print(json.dumps(stats, indent=2))
+    if live is not None:
+        _live_update(final=True)
+        hold = float(os.environ.get("DVS_SERVE_HOLD_S", "0"))
+        if hold > 0:          # keep the console up post-run (demos)
+            print(f"holding live view {hold:.0f}s "
+                  f"(http://127.0.0.1:{live.port}/)", file=sys.stderr)
+            time.sleep(hold)
+        live.close()
     return 0
 
 
@@ -457,6 +503,10 @@ def main(argv: Optional[list] = None) -> int:
     p = argparse.ArgumentParser(prog="dynamic_visual_slam_tpu",
                                 description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax platform (the JAX_PLATFORMS env var "
+                        "is not honored once a platform plugin registers; "
+                        "this routes through jax.config, which is)")
     sub = p.add_subparsers(dest="cmd", required=True)
     _enable_compilation_cache()
 
@@ -491,13 +541,26 @@ def main(argv: Optional[list] = None) -> int:
                     help="route frames through the bounded-queue/"
                          "ApproximateTime middleware (IO thread + device "
                          "loop) — the reference's DDS transport topology")
-    pr.add_argument("--loop-pgo", action="store_true",
+    pr.add_argument("--loop-pgo", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="consume loop closures through the dense pose-graph "
-                         "solve over the keyframe ring instead of the "
-                         "age-interpolated correction")
+                         "solve over the keyframe ring (default since r5 — "
+                         "2.6x better keyframe ATE at 32-KF rings); "
+                         "--no-loop-pgo selects the age-interpolated "
+                         "correction")
     pr.add_argument("--no-reloc", action="store_true",
                     help="disable BoW relocalization after tracking loss "
                          "(the reference's freeze-pose behavior)")
+    pr.add_argument("--serve", type=int, nargs="?", const=8080, default=None,
+                    metavar="PORT",
+                    help="serve a live operator view (annotated frame + "
+                         "stats + top-down map) at http://127.0.0.1:PORT "
+                         "while running — the RViz-loop equivalent "
+                         "(default port 8080)")
+    pr.add_argument("--serve-every", type=int, default=5, metavar="N",
+                    help="refresh the live view every N frames (each "
+                         "refresh costs one device readback of the "
+                         "current keypoint block)")
     pr.add_argument("--anchor", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="keyframe-anchored tracking: a second per-frame PnP "
@@ -578,6 +641,9 @@ def main(argv: Optional[list] = None) -> int:
     pi.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

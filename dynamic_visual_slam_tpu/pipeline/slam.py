@@ -387,8 +387,15 @@ class SLAMSystem:
     # ring (backend/pose_graph.py) instead of the age-interpolated
     # correction: odometry edges + the loop's absolute constraint,
     # Gauss-Newton on the (6F,6F) dense normal system — the production
-    # SLAM treatment, and a tiny exact solve at ring capacity
-    loop_pgo: bool = False
+    # SLAM treatment, and a tiny exact solve at ring capacity.
+    # Default ON since r5: measured equivalent to interp at ring
+    # capacity 8 (ATE 0.073 vs 0.071, PARITY_RESULTS.md), and 2.6x
+    # better keyframe ATE at a 32-keyframe ring with a large one-shot
+    # correction (0.037 vs 0.094 m — tests/test_pose_graph.py::
+    # TestInterpVsPGODivergence), where interp's linear age ramp no
+    # longer matches the drift shape. Interp remains available
+    # (loop_pgo=False) and is pinned by tests/test_soak.py.
+    loop_pgo: bool = True
     # Relocalization after tracking loss (new capability — the reference
     # only freezes the pose, frontend.cpp:925-944): after reloc_after
     # consecutive tracking failures, the current frame's descriptors query

@@ -79,19 +79,53 @@ def _random_walkers(rng: np.random.Generator, n: int
                     ) -> Tuple[synthetic.MovingObject, ...]:
     """Randomized walkers: varied depth, start, speed, size, texture — the
     detector must learn 'independently moving textured rectangle', not one
-    fixed configuration."""
+    fixed configuration.
+
+    r5 broadening (VERDICT r4 next #4 — the r4 family sampled constant
+    z in (0.9, 1.5) with no vz/stop_go, and the learned detector's map
+    protection collapsed on io/synthetic.hard_walkers: 170 confirmed
+    walker landmarks vs 6 with GT boxes): the family now covers the
+    behaviors the OOD eval exercises —
+    - z spans (0.6, 2.6): the full footprint-scale range a walker
+      traverses while approaching/receding inside the depth gate;
+    - vz approach/recede (clamped so the walker stays in (0.5, 2.9) m
+      over the sampled time horizon): scale CHANGES within a scene, and
+      sampled render times expose intermediate scales;
+    - stop_go duty cycles: positions visited match a stop-and-go
+      runtime trajectory (appearance per frame is time-warped motion);
+    - occlusion pressure comes from render_pool sampling up to 4
+      walkers at distinct z on crossing paths (depth-sorted rendering
+      occludes exactly)."""
     objs = []
     for i in range(n):
+        z = float(rng.uniform(0.6, 2.6))
+        vz = 0.0
+        if rng.uniform() < 0.5:
+            vz_lo = max(-0.14, (0.5 - z) / _POOL_TS_MAX)
+            vz_hi = min(0.07, (2.9 - z) / _POOL_TS_MAX)
+            vz = float(rng.uniform(vz_lo, vz_hi))
+        stop_go = None
+        if rng.uniform() < 0.35:
+            stop_go = (float(rng.uniform(0.8, 2.4)),
+                       float(rng.uniform(0.3, 0.8)))
         objs.append(synthetic.MovingObject(
-            z=float(rng.uniform(0.9, 1.5)),
+            z=z,
             center0=(float(rng.uniform(-0.8, 0.8)),
-                     float(rng.uniform(-0.25, 0.25))),
+                     float(rng.uniform(-0.3, 0.3))),
             velocity=(float(rng.uniform(-0.3, 0.3)),
                       float(rng.uniform(-0.05, 0.05))),
-            half_size=(float(rng.uniform(0.12, 0.30)),
-                       float(rng.uniform(0.22, 0.45))),
-            tex_id=int(rng.integers(5, 60))))
+            half_size=(float(rng.uniform(0.10, 0.32)),
+                       float(rng.uniform(0.20, 0.48))),
+            tex_id=int(rng.integers(5, 60)),
+            vz=vz, stop_go=stop_go))
     return tuple(objs)
+
+
+# time horizon render_pool samples scene times from: long enough for
+# vz/stop_go walkers to traverse their scale/position range (the runtime
+# OOD sequences run ~6-16 s), short enough that x/y velocities keep
+# walkers near the view frustum for most samples
+_POOL_TS_MAX = 8.0
 
 
 def render_pool(n_images: int, input_size: int = 256, seed: int = 0,
@@ -110,7 +144,7 @@ def render_pool(n_images: int, input_size: int = 256, seed: int = 0,
     i = 0
     scene_id = 0
     while i < n_images:
-        n_obj = int(rng.integers(0, 4))
+        n_obj = int(rng.integers(0, 5))      # up to 4: occlusion pressure
         scene = synthetic.SyntheticScene(
             cam, seed=int(rng.integers(0, 10_000)),
             objects=_random_walkers(rng, n_obj))
@@ -121,7 +155,7 @@ def render_pool(n_images: int, input_size: int = 256, seed: int = 0,
             if i >= n_images:
                 break
             r, t = poses[j]
-            ts = float(rng.uniform(0.0, 2.0))
+            ts = float(rng.uniform(0.0, _POOL_TS_MAX))
             gray, _ = scene.render(r, t, t_s=ts)
             bb = scene.object_bboxes(r, t, ts)
             img, sc, pad = letterbox_np(gray, input_size)

@@ -77,3 +77,40 @@ class TestProfiling:
             pass
         s = t.summary()
         assert s["a"]["count"] == 2 and s["a"]["ema_ms"] >= 0
+
+
+class TestLiveView:
+    def test_serve_endpoints(self):
+        """The --serve operator view (utils/serve.LiveView — the RViz-loop
+        equivalent, SURVEY.md C9): page, JPEG frame, stats, and map all
+        served from the snapshot the pipeline publishes."""
+        import json as _json
+        import urllib.request
+
+        from dynamic_visual_slam_tpu.utils.serve import LiveView
+
+        lv = LiveView(port=0)    # ephemeral port
+        try:
+            gray = (np.random.default_rng(0).uniform(0, 255, (60, 80))
+                    ).astype(np.uint8)
+            uv = np.asarray([[10.0, 12.0], [40.0, 30.0]])
+            lv.update(gray, uv,
+                      dict(frames=7, keyframes=2),
+                      traj_xyz=np.asarray([[0, 0, 0], [0.1, 0, 0.2]]),
+                      landmarks_xyz=np.asarray([[1.0, 0.0, 2.0]]))
+            base = f"http://127.0.0.1:{lv.port}"
+            page = urllib.request.urlopen(base + "/", timeout=5).read()
+            assert b"live view" in page
+            st = _json.loads(urllib.request.urlopen(
+                base + "/stats.json", timeout=5).read())
+            assert st["frames"] == 7 and st["keyframes"] == 2
+            mp = _json.loads(urllib.request.urlopen(
+                base + "/map.json", timeout=5).read())
+            assert mp["trajectory_xz"] == [[0.0, 0.0], [0.1, 0.2]]
+            assert mp["landmarks_xz"] == [[1.0, 2.0]]
+            fr = urllib.request.urlopen(base + "/frame.jpg", timeout=5)
+            body = fr.read()
+            assert fr.headers["Content-Type"] == "image/jpeg"
+            assert body[:2] == b"\xff\xd8"    # JPEG SOI
+        finally:
+            lv.close()

@@ -90,7 +90,10 @@ def test_loop_closure_corrects_drift():
     def run(loop_correction):
         slam = SLAMSystem(cfg, ba_async=False, vocab_train_keyframes=3,
                           loop_min_gap=12, loop_min_score=0.15,
-                          loop_correction=loop_correction)
+                          loop_correction=loop_correction,
+                          loop_pgo=False)   # pins the INTERP path (the
+        #                   PGO default gets its own system test,
+        #                   tests/test_pose_graph.py)
         for i, (gray, depth, _) in enumerate(frames):
             slam.process(gray, depth, i / 30.0)
         slam.finalize()
@@ -130,7 +133,8 @@ def test_loop_correction_improves_or_preserves_ate():
     def run(loop_correction):
         slam = SLAMSystem(cfg, ba_async=False, vocab_train_keyframes=3,
                           loop_min_gap=4, loop_min_score=0.08,
-                          loop_correction=loop_correction)
+                          loop_correction=loop_correction,
+                          loop_pgo=False)   # interp path pinned (see above)
         for i, (gray, depth, _, _, _) in enumerate(frames):
             slam.process(gray, depth, i / 30.0)
         slam.finalize()
