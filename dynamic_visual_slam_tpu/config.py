@@ -254,6 +254,18 @@ class SemanticConfig:
     # add over-culling keyframe pressure (71 → 95 keyframes).
     box_margin: float = 0.15
     persist_frames: int = 5
+    # Velocity-extrapolated box TRACKS (r5, supersedes the persist_frames
+    # union when > 0): detections are IoU-matched to live tracks; a track
+    # the detector misses keeps being served, extrapolated by its
+    # estimated velocity and inflated by track_inflate per stale frame,
+    # for up to track_ttl_frames. This is the in-process equivalent of
+    # the reference's /yolo/tracking stream (tracked detections with
+    # IDs, backend.cpp:183-190) and is what bridges the measured 13-20
+    # frame OOD miss-runs (scripts/ood_eval.py): a stop-and-go walker
+    # stays covered while frozen, an approaching walker's track grows
+    # with the inflation. 0 disables tracking (persist_frames union).
+    track_ttl_frames: int = 12
+    track_inflate: float = 0.03
     # id used when no bbox contains the pixel (backend.cpp:1028)
     unlabeled_category: str = "unlabeled"
 

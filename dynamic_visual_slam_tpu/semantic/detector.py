@@ -80,6 +80,81 @@ class YoloDetector:
                                  np.asarray(raw.scores),
                                  np.asarray(raw.valid), (h, w))
 
+    def _update_tracks(self, b: np.ndarray, c: np.ndarray, s: np.ndarray,
+                       hw) -> tuple:
+        """Velocity-extrapolated box tracking (SemanticConfig
+        track_ttl_frames / track_inflate): the in-process analogue of the
+        reference's /yolo/tracking stream — the backend there consumes
+        TRACKED detections, not raw per-frame ones (backend.cpp:183-190).
+        Greedy IoU matching to live tracks; missed tracks coast on their
+        EMA velocity, inflate per stale frame, and expire after the TTL.
+        Serves the union of current detections and coasting tracks, so a
+        13-20 frame detector miss-run on a moving/stopped walker (the
+        measured OOD failure mode) no longer uncovers it."""
+        sc = self.cfg.semantic
+        h, w = hw
+        tracks = getattr(self, "_tracks", [])
+
+        def iou(a, bb):
+            x1 = np.maximum(a[0], bb[0]); y1 = np.maximum(a[1], bb[1])
+            x2 = np.minimum(a[2], bb[2]); y2 = np.minimum(a[3], bb[3])
+            inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+            ua = (a[2] - a[0]) * (a[3] - a[1]) \
+                + (bb[2] - bb[0]) * (bb[3] - bb[1]) - inter
+            return inter / max(ua, 1e-9)
+
+        used = np.zeros(len(b), bool)
+        for tr in tracks:
+            best, bi = 0.30, -1          # match floor
+            for i in range(len(b)):
+                if used[i] or c[i] != tr["cat"]:
+                    continue
+                v = iou(tr["box"], b[i])
+                if v > best:
+                    best, bi = v, i
+            if bi >= 0:
+                used[bi] = True
+                nc = np.asarray([(b[bi][0] + b[bi][2]) / 2,
+                                 (b[bi][1] + b[bi][3]) / 2])
+                oc = np.asarray([(tr["box"][0] + tr["box"][2]) / 2,
+                                 (tr["box"][1] + tr["box"][3]) / 2])
+                if tr["age"] == 0:
+                    # seen last frame: (nc - oc) IS the per-frame motion
+                    tr["vel"] = 0.6 * tr["vel"] + 0.4 * (nc - oc)
+                else:
+                    # re-acquired after coasting: the box already moved by
+                    # vel each stale frame, so (nc - oc) is the residual —
+                    # apply it as a per-frame velocity correction
+                    tr["vel"] = tr["vel"] + 0.4 * (nc - oc) / (tr["age"] + 1)
+                tr["box"] = b[bi].copy()
+                tr["score"] = float(s[bi])
+                tr["age"] = 0
+            else:
+                tr["age"] += 1
+                vx, vy = tr["vel"]
+                g = sc.track_inflate * 0.5 * (
+                    (tr["box"][2] - tr["box"][0])
+                    + (tr["box"][3] - tr["box"][1]))
+                tr["box"] = tr["box"] + np.asarray(
+                    [vx - g, vy - g, vx + g, vy + g], np.float32)
+        tracks = [t for t in tracks if t["age"] <= sc.track_ttl_frames]
+        for i in range(len(b)):
+            if not used[i]:
+                tracks.append(dict(box=b[i].copy(),
+                                   vel=np.zeros(2, np.float64),
+                                   cat=int(c[i]), score=float(s[i]), age=0))
+        self._tracks = tracks
+        if not tracks:
+            return b, c, s
+        tb = np.clip(np.stack([t["box"] for t in tracks]),
+                     [0, 0, 0, 0], [w - 1, h - 1, w - 1, h - 1]
+                     ).astype(np.float32)
+        keep = (tb[:, 2] - tb[:, 0] > 1) & (tb[:, 3] - tb[:, 1] > 1)
+        tb = tb[keep]
+        tc = np.asarray([t["cat"] for t in tracks], np.int32)[keep]
+        ts_ = np.asarray([t["score"] for t in tracks], np.float32)[keep]
+        return tb, tc, ts_
+
     def _postprocess(self, boxes: np.ndarray, category: np.ndarray,
                      score: np.ndarray, valid: np.ndarray,
                      hw) -> Detections:
@@ -105,7 +180,9 @@ class YoloDetector:
                           np.maximum(b[:, 1] - mh, 0.0),
                           np.minimum(b[:, 2] + mw, w - 1.0),
                           np.minimum(b[:, 3] + mh, h - 1.0)], axis=1)
-        if sc.persist_frames > 1:
+        if getattr(sc, "track_ttl_frames", 0) > 0:
+            b, c, s = self._update_tracks(b, c, s, (h, w))
+        elif sc.persist_frames > 1:
             self._recent.append((b, c, s))
             if len(self._recent) > sc.persist_frames:
                 self._recent.pop(0)

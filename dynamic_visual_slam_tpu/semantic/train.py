@@ -483,7 +483,17 @@ def in_loop_eval(params: Dict[str, Any], n_frames: int = 180, seed: int = 0,
         slam.finalize()
         _, _, est_t = slam.frontend_trajectory()
         lms = slam.landmarks_world()
-        hits = synthetic.walker_swept_hits(lms["xyz"], objs, dur)
+        # landmarks live in the ESTIMATED world frame; the walker swept
+        # volumes are GROUND-TRUTH world geometry — align the estimated
+        # frame to GT (the same rigid Umeyama alignment ATE uses) before
+        # the containment test, or a run with decimetre-level ATE counts
+        # rigidly-misplaced STATIC landmarks as walker hits (measured:
+        # the unaligned metric overstated OOD leakage at ATE >= 0.1 m)
+        from dynamic_visual_slam_tpu.io.trajectory import umeyama_alignment
+        r_al, t_al, _ = umeyama_alignment(
+            np.asarray(est_t, np.float64), np.asarray(gt_t, np.float64))
+        xyz_al = np.asarray(lms["xyz"], np.float64) @ r_al.T + t_al
+        hits = synthetic.walker_swept_hits(xyz_al, objs, dur)
         results[cond] = dict(
             ate_m=round(float(ate_rmse(est_t, gt_t)), 5),
             walker_landmarks_confirmed=int(np.sum(hits & (lms["n_obs"] >= 2))),

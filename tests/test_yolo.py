@@ -96,9 +96,12 @@ class TestDetectorWrapper:
         import dataclasses as _dc
         base = SLAMConfig()
         # pin the persistence horizon: this test checks the MECHANISM
-        # (serve + age-out), not the shipped default (5 as of r4)
+        # (serve + age-out), not the shipped default — tracking (the r5
+        # default mechanism, tested separately below) is disabled so the
+        # persist_frames fallback path is the one exercised
         cfg = base.replace(semantic=_dc.replace(base.semantic,
-                                                persist_frames=3))
+                                                persist_frames=3,
+                                                track_ttl_frames=0))
         cap = cfg.semantic.max_detections
 
         class _Shim:         # _postprocess only reads .cfg and ._recent
@@ -141,3 +144,61 @@ class TestDetectorWrapper:
         assert canvas.shape == (320, 320, 3)
         assert abs(scale - 320 / 424) < 1e-6
         assert px == 0 and py == (320 - int(round(240 * scale))) // 2
+
+
+class TestBoxTracking:
+    def test_tracks_coast_through_miss_runs(self):
+        """SemanticConfig.track_ttl_frames (the r5 default mechanism — the
+        in-process /yolo/tracking equivalent, backend.cpp:183-190): a
+        detected box that the detector then MISSES keeps being served,
+        extrapolated by its estimated velocity and inflated per stale
+        frame, until the TTL expires. This is what bridges the measured
+        13-20 frame OOD miss-runs (scripts/ood_eval.py)."""
+        import dataclasses as _dc
+
+        import numpy as np
+
+        from dynamic_visual_slam_tpu.config import SLAMConfig
+        from dynamic_visual_slam_tpu.semantic.detector import YoloDetector
+
+        base = SLAMConfig()
+        cfg = base.replace(semantic=_dc.replace(
+            base.semantic, box_margin=0.0, track_ttl_frames=4,
+            track_inflate=0.02))
+        cap = cfg.semantic.max_detections
+
+        # an uninitialized detector instance: the tracking/postprocess
+        # methods only read .cfg and the track state they create
+        shim = object.__new__(YoloDetector)
+        shim.cfg = cfg
+        shim._recent = []
+
+        def feed(box=None):
+            boxes = np.zeros((cap, 4), np.float32)
+            valid = np.zeros(cap, bool)
+            if box is not None:
+                boxes[0] = box
+                valid[0] = True
+            cat = np.full(cap, 1, np.int32)
+            score = np.full(cap, 0.9, np.float32)
+            return YoloDetector._postprocess(shim, boxes, cat, score,
+                                             valid, (240, 424))
+
+        # two frames moving +5 px/frame in x establish the velocity
+        feed([20.0, 20.0, 60.0, 100.0])
+        d = feed([25.0, 20.0, 65.0, 100.0])
+        assert int(np.asarray(d.mask).sum()) == 1
+        # detector goes blind: the track coasts at ~+5 px/frame and is
+        # still served (inflated), for up to ttl frames
+        for k in range(1, 5):
+            d = feed(None)
+            m = np.asarray(d.mask)
+            assert m.sum() == 1, (k, m.sum())
+            b = np.asarray(d.boxes)[0]
+            cx = (b[0] + b[2]) / 2.0
+            # coasted center ≈ 45 + 5k * (velocity EMA fraction)
+            assert cx > 45.0 + 1.0 * k, (k, cx)
+            assert b[2] - b[0] > 40.0   # inflation keeps it covering
+        # TTL expiry: one more blind frame and the track is gone
+        d = feed(None)
+        assert int(np.asarray(d.mask).sum()) == 0
