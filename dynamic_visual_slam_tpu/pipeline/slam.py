@@ -879,11 +879,15 @@ class SLAMSystem:
                 [v for _, v, _, _ in self._pending_loops])
         for (rec, verdict, cand_seq, entry_seq), hv in zip(
                 self._pending_loops, host_verdicts):
-            n_inl, _, _, pnp_inl = hv
+            n_inl, q_pnp_h, t_pnp_h, pnp_inl = hv
             q_pnp, t_pnp = verdict[1], verdict[2]  # device-side: fed to jit
             n_inl = int(n_inl)
             rec["inliers"] = n_inl
             rec["pnp_inliers"] = int(pnp_inl)
+            # the verified absolute pose rides along (already host-side
+            # from the drain bundle) so efficacy harnesses can check the
+            # correction magnitude the jitted apply gates on
+            rec["t_pnp"] = [round(float(v), 4) for v in t_pnp_h]
             if n_inl >= self.loop_min_inliers:
                 self.loop_candidates.append(rec)
                 self.stats["loop_candidates"] += 1
