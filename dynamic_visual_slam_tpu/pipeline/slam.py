@@ -784,11 +784,16 @@ class SLAMSystem:
 
     def warmup_place(self) -> None:
         """Compile the place-recognition programs (BoW transform/query/add
-        + the loop/reloc geometric-verification program) on DUMMY data so
-        their multi-second trace+lower+compile cost lands at startup, not
-        on the first real loop candidate mid-stream. Safe to call any
-        time: database state is untouched (query only) and the verify
-        result is discarded. No-op without a vocabulary database."""
+        + the loop/reloc geometric-verification program + the loop/reloc
+        APPLY programs) on DUMMY data so their multi-second
+        trace+lower+compile cost lands at startup, not on the first real
+        loop candidate mid-stream. Safe to call any time: database state
+        is untouched (query only), the verify result is discarded, and
+        the apply programs run as exact no-ops (entry_seq = -1 misses the
+        ring, so the magnitude gate zeroes the correction — measured 4.1 s
+        of trace+compile for apply_loop_pgo that otherwise stalled the
+        frame loop at the FIRST applied loop, profile_place r5).
+        Query/verify are a no-op without a vocabulary database."""
         cap = self.config.map.max_obs_per_keyframe
         d = jnp.zeros((cap, 256), jnp.uint8)
         uv = jnp.zeros((cap, 2), jnp.float32)
@@ -802,6 +807,16 @@ class SLAMSystem:
         if self._bow_db is not None:
             res = self._bow_db.query(d, m, top_k=self.loop_top_k)
             jax.block_until_ready(res.scores)
+        # loop/reloc apply programs: no-op invocations (entry_seq -1 is
+        # never in the ring; reloc correction identity∘identity⁻¹ = I)
+        miss = jnp.asarray(-1, jnp.int32)
+        fn = self._apply_loop_pgo_fn if self.loop_pgo \
+            else self._apply_loop_fn
+        ts2, ms2 = fn(self.tracker_state, self.map_state, q, t, miss, miss)
+        self.tracker_state, self.map_state = ts2, ms2   # values unchanged
+        if self.enable_relocalization:
+            self.tracker_state = self._apply_reloc_fn(
+                self.tracker_state, q, t, q, t)
         jax.block_until_ready(out[0])
 
     def _ensure_verify_fn(self) -> None:
