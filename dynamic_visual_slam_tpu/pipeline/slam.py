@@ -488,8 +488,17 @@ class SLAMSystem:
         self._pending_out.append((timestamp, out, telem))
 
         newest = None
-        if len(self._pending_out) >= max(1, self.sync_every):
+        if self.sync_every <= 1:
+            if self._pending_out:
+                drained = self._drain_results()
+                newest = drained[-1] if drained else None
+        elif len(self._pending_out) > self.sync_every:
+            # hold back the frame just dispatched (its compute is in
+            # flight) so the drain's blocking read rides under it — same
+            # dispatch-then-drain overlap as process_batch
+            latest = self._pending_out.pop()
             drained = self._drain_results()
+            self._pending_out.append(latest)
             newest = drained[-1] if drained else None
 
         # periodic BA (2 s wall-timer equivalent); dispatched asynchronously
@@ -521,17 +530,26 @@ class SLAMSystem:
         else:
             det = detections
 
-        # drain previous batches on the sync_every cadence (in units of
-        # pending batches): each drain is a device sync, which a tunneled
-        # TPU charges dearly — draining every few batches amortizes it
-        drained = []
-        if len(self._pending_out) >= max(1, self.sync_every):
-            drained = self._drain_results()
         self.tracker_state, self.map_state, outs, telems = self._batch_step(
             self.tracker_state, self.map_state, jnp.asarray(grays),
             jnp.asarray(depths), ts_rel, det)
         _start_host_copy(telems)
         self._pending_out.append((list(timestamps), outs, telems))
+
+        # drain previous batches on the sync_every cadence (in units of
+        # pending batches): each drain is a device sync, which a tunneled
+        # TPU charges dearly. Dispatch-THEN-drain (the same order process()
+        # uses) so the blocking device_get rides under the batch just
+        # dispatched instead of stalling on the previous batch's in-flight
+        # compute — the fetched batches finished an iteration ago and their
+        # host copies were started at dispatch. Costs one extra batch of
+        # latency before a loop/reloc correction lands; the apply programs
+        # anchor by keyframe seq id, so late application stays correct.
+        drained = []
+        if len(self._pending_out) > max(1, self.sync_every):
+            newest = self._pending_out.pop()   # still computing — hold back
+            drained = self._drain_results()
+            self._pending_out.append(newest)
 
         self._ba_tick(float(timestamps[-1]) - self._t0, timestamps[-1])
         self.stats["frames"] += b
