@@ -52,6 +52,13 @@ def main() -> int:
     ap.add_argument("--drift", type=float, default=0.35,
                     help="injected depth-scale drift over the run (the "
                          "loop correction must undo the accumulated error)")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="additive Gaussian image noise std (u8 levels). "
+                         "Unlike depth-scale drift, noise degrades MATCHING "
+                         "while keyframes store clean geometry, so real "
+                         "drift accumulates that loop corrections can "
+                         "genuinely undo — and the compiled program shapes "
+                         "are unchanged (no recompile vs shipped defaults)")
     ap.add_argument("--out", default="loop720p.json")
     import argparse as _ap
     ap.add_argument("--loop-pgo", action=_ap.BooleanOptionalAction,
@@ -87,10 +94,14 @@ def main() -> int:
         poses += synthetic.loop_trajectory(
             n_orbit, radius=0.35 - 0.01 * (k % 2))
     frames = []
+    rng = np.random.default_rng(11)
     for i, (r, t) in enumerate(poses):
         gray, depth = scene.render(r, t)
         scale = 1.0 + args.drift * i / len(poses)
-        frames.append((gray.astype(np.uint8),
+        g = gray.astype(np.float32)
+        if args.noise > 0.0:
+            g = g + rng.normal(0.0, args.noise, g.shape)
+        frames.append((np.clip(g, 0, 255).astype(np.uint8),
                        (depth * scale * 1000.0).astype(np.uint16), t))
     gt = np.stack([t for _, _, t in frames])
     n = len(frames)
@@ -136,7 +147,7 @@ def main() -> int:
     rec = dict(
         platform=jax.devices()[0].platform,
         resolution=f"{cfg.camera.width}x{cfg.camera.height}",
-        frames=n, drift_injected=args.drift,
+        frames=n, drift_injected=args.drift, noise_std=args.noise,
         config="shipped defaults (pretrained vocab, loop_pgo on, "
                "geometric verification on, reloc on)",
         loops_applied=int(slam_on.stats.get("loops_applied", 0)),
